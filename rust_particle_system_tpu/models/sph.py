@@ -1,0 +1,74 @@
+"""Flagship model: the 2D SPH fluid, capability-matching the whole reference app.
+
+Bundles the reference's full per-frame pipeline (grid build -> density -> pressure +
+viscosity -> integrate -> bounce -> colour, `src/particle_compute.rs:91-195`) plus its
+render pass into the Model protocol.  Backend selection:
+
+* ``backend="grid"``  — spatial-grid step (default; the reference's design point)
+* ``backend="oracle"`` — all-pairs O(n²) step (small n, exact spec)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from ..core.params import SimParams, make_params
+from ..core.state import ParticleState, scatter_init
+from ..ops.grid import GridSpec, suggest_capacity
+from ..ops.grid_step import grid_step
+from ..ops.reference_step import reference_step
+from ..render import RenderSpec, splat
+
+
+@dataclasses.dataclass(frozen=True)
+class SPHFluid:
+    grid: GridSpec | None
+    render_spec: RenderSpec
+    bounds: tuple
+    backend: str = "grid"
+    chunk_cells: int = 256
+
+    @classmethod
+    def create(
+        cls,
+        n: int = 50_000,
+        bounds=(-960.0, 960.0, -540.0, 540.0),
+        cell_size: float | None = None,
+        capacity: int | None = None,
+        backend: str = "grid",
+        render_spec: RenderSpec | None = None,
+        capacity_safety: float = 16.0,
+    ) -> "SPHFluid":
+        params = make_params(bounds=bounds)
+        if cell_size is None:
+            # grid cell size = smoothing radius, as the reference ties them (main.rs:88)
+            cell_size = float(params.smoothing_radius)
+        grid = None
+        if backend == "grid":
+            if capacity is None:
+                capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
+            grid = GridSpec.from_bounds(bounds, cell_size, capacity)
+        return cls(
+            grid=grid,
+            render_spec=render_spec or RenderSpec(),
+            bounds=tuple(float(b) for b in bounds),
+            backend=backend,
+        )
+
+    def default_params(self) -> SimParams:
+        return make_params(bounds=self.bounds)
+
+    def init(self, key: jax.Array, n: int) -> ParticleState:
+        return scatter_init(key, n, self.bounds)
+
+    def step(self, state: ParticleState, params: SimParams) -> ParticleState:
+        if self.backend == "grid":
+            return grid_step(state, params, self.grid, self.chunk_cells)
+        return reference_step(state, params)
+
+    def render(self, state: ParticleState, params: SimParams):
+        return splat(
+            state.pos, state.color, params.particle_size, params.bounds, self.render_spec
+        )

@@ -1,0 +1,92 @@
+"""Command-line harness: run any model family, dump frames, save/load checkpoints.
+
+The headless analog of the reference's windowed app (`src/main.rs:71-134`): pick a model,
+particle count and frame count; optionally write rendered PNG frames and checkpoints.
+
+    python -m rust_particle_system_tpu.runtime.cli --model sph --n 50000 \
+        --frames 300 --render out.png
+    python -m rust_particle_system_tpu.runtime.cli --model flow --n 1000000 \
+        --frames 100 --set flow_strength=400
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ..models import MODEL_FAMILIES
+from ..render import to_srgb_u8
+from ..utils.png import write_png
+from . import checkpoint
+from .simulation import Simulation
+
+
+def build_model(name: str, n: int, backend: str | None = None):
+    if name == "sph":
+        return MODEL_FAMILIES["sph"].create(n=n, backend=backend or "grid")
+    if name == "nbody":
+        return MODEL_FAMILIES["nbody"].create(backend=backend or "jnp")
+    return MODEL_FAMILIES[name].create()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="TPU particle simulation runner")
+    ap.add_argument("--model", choices=sorted(MODEL_FAMILIES), default="sph")
+    ap.add_argument("--backend", default=None,
+                    help="sph: grid|oracle; nbody: jnp|pallas")
+    ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="frames per scan chunk (params re-fed between chunks)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--render", default=None, help="write final frame PNG here")
+    ap.add_argument("--save", default=None, help="write checkpoint .npz here")
+    ap.add_argument("--resume", default=None, help="load checkpoint .npz first")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override a param field (repeatable), e.g. gravity=500")
+    args = ap.parse_args(argv)
+
+    model = build_model(args.model, args.n, args.backend)
+    sim = Simulation(model, n=args.n, seed=args.seed)
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = float(v)
+    if overrides:
+        sim.update_params(**overrides)
+
+    if args.resume:
+        sim.state = checkpoint.load(args.resume, sim.state)
+        print(f"resumed from {args.resume} at frame {int(sim.state.frame)}")
+
+    done = 0
+    t_start = time.perf_counter()
+    while done < args.frames:
+        k = min(args.chunk, args.frames - done)
+        sim.run(k)
+        done += k
+    jax.block_until_ready(sim.state.pos)
+    elapsed = time.perf_counter() - t_start
+    rate = args.frames * args.n / max(elapsed, 1e-9)
+    print(
+        f"{args.model}: {args.frames} frames x {args.n} particles in {elapsed:.2f}s "
+        f"({rate:,.0f} particle-steps/s, incl. compile)"
+    )
+
+    if args.save:
+        checkpoint.save(args.save, sim.state, sim.params)
+        print(f"checkpoint -> {args.save}")
+
+    if args.render:
+        img = to_srgb_u8(sim.render())
+        write_png(args.render, np.asarray(img))
+        print(f"frame -> {args.render}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Simulation driver: scanned frame loops with donated state, and the GUI analog.
+
+The reference advances one frame per render-graph execution, with parameters mutable
+every frame from egui sliders (`src/parameter_gui.rs`).  The TPU driver instead runs
+**chunks of frames inside one ``lax.scan``** (state ping-pongs entirely on-device via
+buffer donation — the analog of the reference's persistent storage buffers), and the
+host mutates the params pytree *between* chunks.  Because every parameter is a traced
+scalar, feeding new values re-uses the compiled executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+
+from ..core.state import ParticleState
+
+
+@functools.partial(jax.jit, static_argnames=("step_fn", "num_frames"), donate_argnums=1)
+def run_frames(step_fn, state: ParticleState, params: Any, num_frames: int) -> ParticleState:
+    """Advance ``num_frames`` frames under one scan; state stays on-device."""
+
+    def body(carry, _):
+        return step_fn(carry, params), None
+
+    state, _ = jax.lax.scan(body, state, None, length=num_frames)
+    return state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("step_fn", "num_frames", "save_every"), donate_argnums=1
+)
+def run_frames_trajectory(step_fn, state, params, num_frames: int, save_every: int = 1):
+    """Like run_frames but stacks every ``save_every``-th state (positions only)."""
+
+    def body(carry, _):
+        new = step_fn(carry, params)
+        return new, new.pos
+
+    state, traj = jax.lax.scan(body, state, None, length=num_frames)
+    return state, traj[::save_every]
+
+
+class Simulation:
+    """Host-side convenience wrapper: model + live-tunable params + device state.
+
+    ``update_params(gravity=500)`` is the egui-slider analog
+    (`src/parameter_gui.rs:78-103`): it replaces fields in the params pytree; the next
+    ``run()`` call feeds them to the already-compiled step.  Changing
+    ``smoothing_radius`` recomputes the kernel norms exactly as the reference does —
+    use :func:`rust_particle_system_tpu.core.params.with_smoothing_radius` via the
+    dedicated kwarg handling below.
+    """
+
+    def __init__(self, model, n: int, seed: int = 0, params=None):
+        self.model = model
+        self.n = n
+        self.params = params if params is not None else model.default_params()
+        self.state = model.init(jax.random.key(seed), n)
+
+    def update_params(self, **kwargs):
+        if "smoothing_radius" in kwargs and hasattr(self.params, "density_kernel_norm"):
+            from ..core.params import with_smoothing_radius
+
+            self.params = with_smoothing_radius(
+                self.params, kwargs.pop("smoothing_radius")
+            )
+        if kwargs:
+            import jax.numpy as jnp
+
+            casted = {
+                k: jnp.asarray(v, getattr(self.params, k).dtype)
+                for k, v in kwargs.items()
+            }
+            self.params = self.params._replace(**casted)
+        return self.params
+
+    def run(self, num_frames: int):
+        self.state = run_frames(self.model.step, self.state, self.params, num_frames)
+        return self.state
+
+    def render(self):
+        return self.model.render(self.state, self.params)

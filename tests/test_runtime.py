@@ -1,0 +1,113 @@
+"""Tests for the scan driver, Simulation wrapper, checkpointing, PNG writer, CLI."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_particle_system_tpu.core.params import make_params
+from rust_particle_system_tpu.models import Attractor, SPHFluid
+from rust_particle_system_tpu.runtime import Simulation, checkpoint, run_frames
+from rust_particle_system_tpu.runtime.cli import main as cli_main
+from rust_particle_system_tpu.utils.png import write_png
+
+
+def test_run_frames_equals_stepwise():
+    model = Attractor.create(bounds=(-100.0, 100.0, -50.0, 50.0))
+    params = model.default_params()
+    s_scan = model.init(jax.random.key(0), 64)
+    s_loop = model.init(jax.random.key(0), 64)
+    s_scan = run_frames(model.step, s_scan, params, 10)
+    step = jax.jit(model.step)
+    for _ in range(10):
+        s_loop = step(s_loop, params)
+    np.testing.assert_allclose(
+        np.asarray(s_scan.pos), np.asarray(s_loop.pos), rtol=1e-6, atol=1e-6
+    )
+    assert int(s_scan.frame) == 10
+
+
+def test_simulation_wrapper_and_param_update():
+    model = Attractor.create()
+    sim = Simulation(model, n=32)
+    sim.run(3)
+    assert int(sim.state.frame) == 3
+    sim.update_params(gravity=555.0)
+    assert float(sim.params.gravity) == 555.0
+    sim.run(2)
+    assert int(sim.state.frame) == 5
+    img = sim.render()
+    assert img.shape == (1080, 1920, 4)
+
+
+def test_sph_simulation_radius_update_recomputes_norms():
+    model = SPHFluid.create(n=64, bounds=(-96.0, 96.0, -54.0, 54.0), capacity=16)
+    sim = Simulation(model, n=64)
+    old_norm = float(sim.params.density_kernel_norm)
+    sim.update_params(smoothing_radius=6.0)
+    assert float(sim.params.smoothing_radius) == 6.0
+    assert float(sim.params.density_kernel_norm) != old_norm
+    np.testing.assert_allclose(
+        float(sim.params.density_kernel_norm), 10.0 / (np.pi * 6.0**5), rtol=1e-6
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = Attractor.create()
+    params = model.default_params()
+    state = model.init(jax.random.key(0), 128)
+    state = jax.jit(model.step)(state, params)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, state, params)
+    state2, params2 = checkpoint.load(path, state, params)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_continues_trajectory(tmp_path):
+    """save -> load -> continue == uninterrupted run (bitwise)."""
+    model = Attractor.create()
+    params = model.default_params()
+    s = model.init(jax.random.key(1), 64)
+    step = jax.jit(model.step)
+    for _ in range(4):
+        s = step(s, params)
+    path = str(tmp_path / "mid.npz")
+    checkpoint.save(path, s)
+    resumed = checkpoint.load(path, s)
+    a, b = s, resumed
+    for _ in range(4):
+        a, b = step(a, params), step(b, params)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_png_writer(tmp_path):
+    img = np.zeros((4, 6, 4), np.uint8)
+    img[..., 0] = 200
+    img[..., 3] = 255
+    path = str(tmp_path / "t.png")
+    write_png(path, img)
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IDAT" in data and b"IEND" in data
+
+
+def test_cli_end_to_end(tmp_path):
+    out_png = str(tmp_path / "frame.png")
+    out_ckpt = str(tmp_path / "state.npz")
+    rc = cli_main(
+        [
+            "--model", "attractor", "--n", "64", "--frames", "6", "--chunk", "3",
+            "--render", out_png, "--save", out_ckpt, "--set", "gravity=100",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out_png) and os.path.getsize(out_png) > 100
+    assert os.path.exists(out_ckpt)
+    rc = cli_main(
+        ["--model", "attractor", "--n", "64", "--frames", "2", "--resume", out_ckpt]
+    )
+    assert rc == 0
