@@ -35,7 +35,7 @@ from .grid import Grid, GridSpec, build_grid, gather_to_cells
 _EPS_DIST = 1e-4  # direction guard (compute_shader.wgsl:305)
 
 
-class _CellChunk(NamedTuple):
+class CellChunk(NamedTuple):
     """Per-cell-chunk gathered data fed to the pairwise passes."""
 
     own_pos: jnp.ndarray  # [B, C, 2]
@@ -44,7 +44,7 @@ class _CellChunk(NamedTuple):
     nbr_idx: jnp.ndarray  # [B, 9C] sorted index, -1 = empty
 
 
-def _pair_geometry(chunk: _CellChunk, h):
+def pair_geometry(chunk: CellChunk, h):
     """Shared pairwise masks/distances for a chunk: [B, C, 9C]."""
     delta = chunk.nbr_pos[:, None, :, :] - chunk.own_pos[:, :, None, :]  # x_j - x_i
     sq = jnp.sum(delta * delta, axis=-1)
@@ -57,9 +57,9 @@ def _pair_geometry(chunk: _CellChunk, h):
     return delta, dist, valid
 
 
-def _density_pass(chunk: _CellChunk, params: SimParams):
+def density_pass(chunk: CellChunk, params: SimParams):
     h = params.smoothing_radius
-    _, dist, valid = _pair_geometry(chunk, h)
+    _, dist, valid = pair_geometry(chunk, h)
     w = jnp.where(valid, K.density_kernel(dist, h, params.density_kernel_norm), 0.0)
     wn = jnp.where(
         valid, K.near_density_kernel(dist, h, params.near_density_kernel_norm), 0.0
@@ -67,10 +67,10 @@ def _density_pass(chunk: _CellChunk, params: SimParams):
     return jnp.sum(w, axis=-1), jnp.sum(wn, axis=-1)  # [B, C] each
 
 
-def _pressure_pass(chunk: _CellChunk, own_rho, own_rhon, nbr_rho, nbr_rhon, params):
+def pressure_pass(chunk: CellChunk, own_rho, own_rhon, nbr_rho, nbr_rhon, params):
     """[B, C, 2] pressure + near-pressure force; self excluded by sorted index."""
     h = params.smoothing_radius
-    delta, dist, valid = _pair_geometry(chunk, h)
+    delta, dist, valid = pair_geometry(chunk, h)
     valid &= chunk.own_idx[:, :, None] != chunk.nbr_idx[:, None, :]
 
     safe_dist = jnp.where(dist > _EPS_DIST, dist, 1.0)
@@ -101,10 +101,10 @@ def _pressure_pass(chunk: _CellChunk, own_rho, own_rhon, nbr_rho, nbr_rhon, para
     return jnp.sum(jnp.where(valid[..., None], contrib, 0.0), axis=2)
 
 
-def _viscosity_pass(chunk: _CellChunk, own_vel, nbr_vel, params):
+def viscosity_pass(chunk: CellChunk, own_vel, nbr_vel, params):
     """[B, C, 2] viscosity force Σ (v_j − v_i)·W_visc."""
     h = params.smoothing_radius
-    _, dist, valid = _pair_geometry(chunk, h)
+    _, dist, valid = pair_geometry(chunk, h)
     valid &= chunk.own_idx[:, :, None] != chunk.nbr_idx[:, None, :]
     w = jnp.where(valid, K.viscosity_kernel(dist, h, params.viscosity_kernel_norm), 0.0)
     dv = nbr_vel[:, None, :, :] - own_vel[:, :, None, :]
@@ -155,14 +155,14 @@ def grid_physics(state: ParticleState, params: SimParams, spec: GridSpec,
         )
 
         def body(args):
-            chunk = _CellChunk(*args[:4])
+            chunk = CellChunk(*args[:4])
             return fn(chunk, *args[4:])
 
         out = jax.lax.map(body, tuple(chunks))
         return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:nc], out)
 
     # Pass 1: density.
-    rho, rhon = run_pass(lambda c: _density_pass(c, params), [])
+    rho, rhon = run_pass(lambda c: density_pass(c, params), [])
 
     # Gather per-cell densities into neighbor layout for the pressure pass.
     rho_pad = jnp.concatenate([rho, jnp.zeros((1, C), rho.dtype)])
@@ -172,7 +172,7 @@ def grid_physics(state: ParticleState, params: SimParams, spec: GridSpec,
 
     # Pass 2: pressure force -> velocity update (global barrier).
     f_p = run_pass(
-        lambda c, orho, orhon, nrho, nrhon: _pressure_pass(
+        lambda c, orho, orhon, nrho, nrhon: pressure_pass(
             c, orho, orhon, nrho, nrhon, params
         ),
         [(rho, 0.0), (rhon, 0.0), (nbr_rho, 0.0), (nbr_rhon, 0.0)],
@@ -191,7 +191,7 @@ def grid_physics(state: ParticleState, params: SimParams, spec: GridSpec,
     cvel = gather_to_cells(grid, spec, vel_s)
     nbr_vel = cvel[nids].reshape(nc, 9 * C, 2)
     f_v = run_pass(
-        lambda c, ovel, nvel: _viscosity_pass(c, ovel, nvel, params),
+        lambda c, ovel, nvel: viscosity_pass(c, ovel, nvel, params),
         [(cvel[:nc], 0.0), (nbr_vel, 0.0)],
     )
     vel_s = vel_s + cells_to_sorted(f_v) * params.viscosity_strength * dt

@@ -1,0 +1,372 @@
+"""Multi-chip SPH step: shard_map over a band mesh with ICI halo exchange + migration.
+
+Everything the reference gets "for free" from a single GPU queue becomes explicit here
+(SURVEY.md §2.3): the inter-pass barrier is data dependence inside one jitted program;
+neighbor access across band boundaries is a **one-cell-row halo exchange** with ring
+neighbors via ``lax.ppermute`` (riding ICI on real hardware); particles that cross a
+band boundary **migrate** in fixed-capacity buffers via the same ppermute rings.
+
+Per-frame schedule on every chip (all shapes static):
+
+1. gravity + predicted positions
+2. migrate: particles whose predicted cell-row left the band go to the adjacent band
+   (one band per step max — violations are clamped and counted)
+3. local bin/sort into the band's [rows_per_band * gw] cell grid
+4. halo exchange ghost rows (positions + slot validity)           ── ppermute ×2
+5. density pass over [C, 9C] cell tiles (ghost-aware)
+6. halo exchange ghost densities                                  ── ppermute ×2
+7. pressure pass → velocity update
+8. halo exchange ghost post-pressure velocities                   ── ppermute ×2
+9. viscosity pass → velocity update
+10. integrate + bounce + colour (slot-masked)
+
+Diagnostics (psum'd, replicated): migration drops, band violations, grid overflow —
+the multi-chip analog of the reference's disabled debug validators (`src/debug.rs`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core import kernels as K
+from ..core.params import SimParams
+from ..ops.grid_step import (
+    CellChunk,
+    _chunked_cells,
+    density_pass,
+    pressure_pass,
+    viscosity_pass,
+)
+from .shard import ShardedState, ShardSpec
+
+
+# ----------------------------------------------------------------------------------
+# Fixed-capacity pack / insert (migration buffers).
+# ----------------------------------------------------------------------------------
+
+def pack_rows(values, mask, K: int):
+    """Compact masked rows of ``values`` [cap, F] into a [K, F] buffer.
+
+    Returns (buffer, buffer_valid [K] bool, dropped count).  Deterministic: rows keep
+    their slot order; rows beyond K are dropped (counted).
+    """
+    cap = values.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # position among packed rows
+    dest = jnp.where(mask & (rank < K), rank, K)  # overflow -> trash row K
+    buf = jnp.zeros((K + 1,) + values.shape[1:], values.dtype).at[dest].set(values)[:K]
+    total = jnp.sum(mask.astype(jnp.int32))
+    count = jnp.minimum(total, K)
+    buf_valid = jnp.arange(K) < count
+    return buf, buf_valid, total - count
+
+
+def insert_rows(dst, dst_valid, buf, buf_valid):
+    """Place valid buffer rows into free slots of ``dst``.
+
+    Returns (new_dst, new_valid, dropped).  Free slots fill in slot order.
+    """
+    count = jnp.sum(buf_valid.astype(jnp.int32))
+    free = ~dst_valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    take = free & (free_rank < count)
+    src = jnp.where(take, free_rank, 0)
+    new_dst = jnp.where(take[:, None], buf[src], dst)
+    inserted = jnp.sum(take.astype(jnp.int32))
+    return new_dst, dst_valid | take, count - inserted
+
+
+# ----------------------------------------------------------------------------------
+# Ring exchange helpers.
+# ----------------------------------------------------------------------------------
+
+def _perm_up(n):  # band b -> b+1
+    return [(i, i + 1) for i in range(n - 1)]
+
+
+def _perm_down(n):  # band b -> b-1
+    return [(i, i - 1) for i in range(1, n)]
+
+
+def exchange_halo(top_row, bottom_row, axis: str, n_bands: int):
+    """Send my top cell-row up and bottom cell-row down; receive ghosts.
+
+    Returns (ghost_bottom, ghost_top): ghost_bottom is the band-below's top row,
+    ghost_top the band-above's bottom row.  Edge bands receive zeros.
+    """
+    ghost_bottom = jax.lax.ppermute(top_row, axis, _perm_up(n_bands))
+    ghost_top = jax.lax.ppermute(bottom_row, axis, _perm_down(n_bands))
+    return ghost_bottom, ghost_top
+
+
+# ----------------------------------------------------------------------------------
+# Local grid build (band-local variant of ops.grid.build_grid).
+# ----------------------------------------------------------------------------------
+
+def _local_neighbor_ids(spec: ShardSpec):
+    """Static [local_cells, 9] table into the extended cell array:
+    [0, LC): local cells; [LC, LC+gw): bottom ghost; [LC+gw, LC+2gw): top ghost;
+    LC+2gw: empty padding."""
+    gw, R = spec.grid.gw, spec.rows_per_band
+    LC = R * gw
+    ids = np.empty((LC, 9), np.int32)
+    for r in range(R):
+        for c in range(gw):
+            k = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nr, ncol = r + dy, c + dx
+                    if ncol < 0 or ncol >= gw:
+                        v = LC + 2 * gw  # off-grid horizontally
+                    elif nr == -1:
+                        v = LC + ncol  # bottom ghost
+                    elif nr == R:
+                        v = LC + gw + ncol  # top ghost
+                    else:
+                        v = nr * gw + ncol
+                    ids[r * gw + c, k] = v
+                    k += 1
+    return jnp.asarray(ids)
+
+
+def _build_local_grid(local_keys, spec: ShardSpec):
+    """Sort band-local keys; return (perm, sorted_keys, slot, table, overflow).
+
+    ``local_keys`` in [0, LC) for live particles, LC (trash) for empty slots.
+    ``table`` is [LC + 1, C] (last row = trash, never referenced by neighbor ids).
+    """
+    LC, C = spec.local_cells, spec.grid.capacity
+    cap = local_keys.shape[0]
+    perm = jnp.argsort(local_keys, stable=True).astype(jnp.int32)
+    ks = local_keys[perm]
+    starts = jnp.searchsorted(ks, jnp.arange(LC + 1, dtype=jnp.int32), side="left")
+    slot = jnp.arange(cap, dtype=jnp.int32) - starts[jnp.minimum(ks, LC)].astype(jnp.int32)
+    live = ks < LC
+    overflow = jnp.sum(live & (slot >= C)).astype(jnp.int32)
+    table = jnp.full((LC + 1, C + 1), -1, jnp.int32)
+    table = table.at[jnp.minimum(ks, LC), jnp.minimum(slot, C)].set(
+        jnp.arange(cap, dtype=jnp.int32)
+    )[:, :C]
+    # wipe trash row (it collected empty-slot entries)
+    table = table.at[LC].set(-1)
+    return perm, ks, slot, table, overflow
+
+
+def _cells_from_table(table_rows, sorted_vals):
+    """Gather [rows, C] table of sorted indices into cell-dense values (0 for empty)."""
+    n = sorted_vals.shape[0]
+    padded = jnp.concatenate(
+        [sorted_vals, jnp.zeros((1,) + sorted_vals.shape[1:], sorted_vals.dtype)]
+    )
+    idx = jnp.where(table_rows >= 0, table_rows, n)
+    return padded[idx]
+
+
+# ----------------------------------------------------------------------------------
+# The per-chip physics body.
+# ----------------------------------------------------------------------------------
+
+def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec,
+                   axis: str, chunk_cells: int):
+    g = spec.grid
+    gw, R, C, LC = g.gw, spec.rows_per_band, g.capacity, spec.local_cells
+    D, cap = spec.n_bands, spec.cap
+    band = jax.lax.axis_index(axis)
+    dt = params.dt
+
+    # 1. gravity + predict
+    vel = vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
+    pred = pos + vel * dt
+
+    # 2. migration by predicted band
+    cy = jnp.clip(
+        jnp.floor((pred[:, 1] - g.y_min) / g.cell_size).astype(jnp.int32), 0, g.gh - 1
+    )
+    target_band = cy // R
+    clamped = jnp.clip(target_band, band - 1, band + 1)
+    violations = jnp.sum(valid & (target_band != clamped))
+    go_up = valid & (clamped == band + 1)
+    go_down = valid & (clamped == band - 1)
+
+    payload = jnp.concatenate([pos, vel, color], axis=-1)  # [cap, 8]
+    up_buf, up_valid, up_drop = pack_rows(payload, go_up, spec.mig_cap)
+    dn_buf, dn_valid, dn_drop = pack_rows(payload, go_down, spec.mig_cap)
+
+    recv_lo = jax.lax.ppermute(up_buf, axis, _perm_up(D))
+    recv_lo_valid = jax.lax.ppermute(up_valid, axis, _perm_up(D))
+    recv_hi = jax.lax.ppermute(dn_buf, axis, _perm_down(D))
+    recv_hi_valid = jax.lax.ppermute(dn_valid, axis, _perm_down(D))
+
+    valid = valid & ~(go_up | go_down)
+    payload, valid, drop_a = insert_rows(payload, valid, recv_lo, recv_lo_valid)
+    payload, valid, drop_b = insert_rows(payload, valid, recv_hi, recv_hi_valid)
+    pos, vel, color = payload[:, 0:2], payload[:, 2:4], payload[:, 4:8]
+    pred = pos + vel * dt  # includes received particles
+
+    # 3. local binning (keys relative to the band's cell rows)
+    cx = jnp.clip(
+        jnp.floor((pred[:, 0] - g.x_min) / g.cell_size).astype(jnp.int32), 0, gw - 1
+    )
+    cy = jnp.clip(
+        jnp.floor((pred[:, 1] - g.y_min) / g.cell_size).astype(jnp.int32), 0, g.gh - 1
+    )
+    local_cy = jnp.clip(cy - band * R, 0, R - 1)
+    local_keys = jnp.where(valid, local_cy * gw + cx, LC)
+    perm, ks, slot, table, grid_overflow = _build_local_grid(local_keys, spec)
+
+    pred_s = pred[perm]
+    vel_s = vel[perm]
+
+    cell_pos = _cells_from_table(table[:LC], pred_s)  # [LC, C, 2]
+    cell_mask = (table[:LC] >= 0).astype(jnp.float32)  # [LC, C]
+
+    # 4. halo: ghost positions + validity
+    def row_slices(x):
+        return x[(R - 1) * gw : R * gw], x[0:gw]  # (top row, bottom row)
+
+    gb_pos, gt_pos = exchange_halo(*row_slices(cell_pos), axis, D)
+    gb_mask, gt_mask = exchange_halo(*row_slices(cell_mask), axis, D)
+
+    # ghost pseudo-indices: >= cap, never collide with local sorted indices
+    lin = jnp.arange(gw * C, dtype=jnp.int32).reshape(gw, C)
+    gb_idx = jnp.where(gb_mask > 0.5, cap + lin, -1)
+    gt_idx = jnp.where(gt_mask > 0.5, cap + gw * C + lin, -1)
+
+    nids = _local_neighbor_ids(spec)  # [LC, 9]
+
+    def extend(local_cells_arr, gb, gt):
+        """[LC(+ghost rows)+pad, C, ...] extended cell array for neighbor gathers."""
+        pad = jnp.zeros((1,) + local_cells_arr.shape[1:], local_cells_arr.dtype)
+        return jnp.concatenate([local_cells_arr, gb, gt, pad], axis=0)
+
+    def extend_idx(local_idx, gb, gt):
+        pad = jnp.full((1,) + local_idx.shape[1:], -1, local_idx.dtype)
+        return jnp.concatenate([local_idx, gb, gt, pad], axis=0)
+
+    epos = extend(cell_pos, gb_pos, gt_pos)
+    eidx = extend_idx(table[:LC], gb_idx, gt_idx)
+
+    own_pos = cell_pos
+    own_idx = table[:LC]
+    nbr_pos = epos[nids].reshape(LC, 9 * C, 2)
+    nbr_idx = eidx[nids].reshape(LC, 9 * C)
+
+    def run_pass(fn, extras):
+        chunks = _chunked_cells(
+            [(own_pos, 0.0), (own_idx, -1), (nbr_pos, 0.0), (nbr_idx, -1)]
+            + list(extras),
+            LC,
+            chunk_cells,
+        )
+
+        def body(args):
+            return fn(CellChunk(*args[:4]), *args[4:])
+
+        out = jax.lax.map(body, tuple(chunks))
+        return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:LC], out)
+
+    # 5. density
+    rho, rhon = run_pass(lambda c: density_pass(c, params), [])
+
+    # 6. halo: ghost densities
+    gb_rho, gt_rho = exchange_halo(*row_slices(rho), axis, D)
+    gb_rhon, gt_rhon = exchange_halo(*row_slices(rhon), axis, D)
+    erho = extend(rho, gb_rho, gt_rho)
+    erhon = extend(rhon, gb_rhon, gt_rhon)
+    nbr_rho = erho[nids].reshape(LC, 9 * C)
+    nbr_rhon = erhon[nids].reshape(LC, 9 * C)
+
+    # 7. pressure
+    f_p = run_pass(
+        lambda c, orho, orhon, nrho, nrhon: pressure_pass(
+            c, orho, orhon, nrho, nrhon, params
+        ),
+        [(rho, 0.0), (rhon, 0.0), (nbr_rho, 0.0), (nbr_rhon, 0.0)],
+    )
+
+    def cells_to_sorted(cell_vals):
+        in_table = (slot < C) & (ks < LC)
+        s = jnp.minimum(slot, C - 1)
+        vals = cell_vals[jnp.minimum(ks, LC - 1), s]
+        return jnp.where(in_table[(...,) + (None,) * (vals.ndim - 1)], vals, 0.0)
+
+    vel_s = vel_s + cells_to_sorted(f_p) * dt
+
+    # 8. halo: ghost post-pressure velocities
+    cell_vel = _cells_from_table(table[:LC], vel_s)
+    gb_vel, gt_vel = exchange_halo(*row_slices(cell_vel), axis, D)
+    evel = extend(cell_vel, gb_vel, gt_vel)
+    nbr_vel = evel[nids].reshape(LC, 9 * C, 2)
+
+    # 9. viscosity
+    f_v = run_pass(
+        lambda c, ovel, nvel: viscosity_pass(c, ovel, nvel, params),
+        [(cell_vel, 0.0), (nbr_vel, 0.0)],
+    )
+    vel_s = vel_s + cells_to_sorted(f_v) * params.viscosity_strength * dt
+
+    # 10. unsort, integrate, bounce, colour
+    new_vel = jnp.zeros_like(vel_s).at[perm].set(vel_s)
+    new_pos = pos + new_vel * dt
+    new_pos, new_vel = K.bounce_bounds(new_pos, new_vel, params.bounds, params.damping_factor)
+    new_color = K.energy_color(new_vel, params.max_energy)
+
+    # keep dead slots inert
+    new_pos = jnp.where(valid[:, None], new_pos, pos)
+    new_vel = jnp.where(valid[:, None], new_vel, 0.0)
+    new_color = jnp.where(valid[:, None], new_color, 0.0)
+
+    diags = {
+        "migration_send_dropped": jax.lax.psum(up_drop + dn_drop, axis),
+        "migration_recv_dropped": jax.lax.psum(drop_a + drop_b, axis),
+        "band_violations": jax.lax.psum(violations, axis),
+        "grid_overflow": jax.lax.psum(grid_overflow, axis),
+        "live_particles": jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), axis),
+    }
+    return new_pos, new_vel, new_color, valid, diags
+
+
+def zero_diags():
+    z = jnp.asarray(0, jnp.int32)
+    return {
+        "migration_send_dropped": z,
+        "migration_recv_dropped": z,
+        "band_violations": z,
+        "grid_overflow": z,
+        "live_particles": z,
+    }
+
+
+def make_sharded_step(spec: ShardSpec, mesh: jax.sharding.Mesh, axis: str = "bands",
+                      chunk_cells: int = 128):
+    """Build the jitted multi-chip step: (ShardedState, SimParams) -> (state, diags)."""
+    body = functools.partial(_local_physics, spec=spec, axis=axis,
+                             chunk_cells=chunk_cells)
+    smap = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+    )
+
+    def _run(s: ShardedState, params: SimParams):
+        pos, vel, color, valid, diags = smap(s.pos, s.vel, s.color, s.valid, params)
+        return ShardedState(pos, vel, color, valid, s.frame), diags
+
+    @jax.jit
+    def step(sstate: ShardedState, params: SimParams):
+        live = jnp.sum(sstate.valid.astype(jnp.int32))
+        idle = {**zero_diags(), "live_particles": live}
+        new_s, diags = jax.lax.cond(
+            sstate.frame >= params.shader_delay,
+            lambda s: _run(s, params),
+            lambda s: (s, idle),
+            sstate,
+        )
+        return new_s._replace(frame=sstate.frame + 1), diags
+
+    return step

@@ -68,13 +68,13 @@ def _sprite_alpha(dist_px, radius_px):
     return jnp.where(alpha < 0.01, 0.0, alpha)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def splat(pos, color, particle_size, bounds, spec: RenderSpec,
-          background=(0.0, 0.0, 0.0, 1.0)):
-    """Render particles to an [H, W, 4] float32 image (RGB over background, A=coverage).
+def splat_accumulate(pos, color, particle_size, bounds, spec: RenderSpec):
+    """Pre-resolve accumulators: ([H, W, 3] premultiplied RGB, [H, W] coverage).
 
-    Each particle scatter-adds premultiplied colour over its (2*max_radius_px+1)^2
-    stamp; out-of-image contributions are dropped (clipping).
+    The accumulators are **additive and commutative**, so partial accumulators from
+    particle shards on different chips can be summed (`psum`) before
+    :func:`splat_resolve` — this is the distributed splat-composite path
+    (`parallel/composite.py`).
     """
     px, py, sx, _sy = world_to_pixel(pos, bounds, spec)
     radius_px = particle_size * sx  # isotropic when aspect ratios match (the default)
@@ -109,15 +109,31 @@ def splat(pos, color, particle_size, bounds, spec: RenderSpec,
     rgb_acc = rgb_acc.at[flat_idx].add(premul)
     a_acc = a_acc.at[flat_idx].add(weights)
 
-    rgb_acc = rgb_acc.reshape(spec.height, spec.width, 3)
-    a_acc = a_acc.reshape(spec.height, spec.width)
+    return rgb_acc.reshape(spec.height, spec.width, 3), a_acc.reshape(
+        spec.height, spec.width
+    )
 
+
+def splat_resolve(rgb_acc, a_acc, background=(0.0, 0.0, 0.0, 1.0)):
+    """Normalise accumulators into the final [H, W, 4] image over a background."""
     coverage = jnp.clip(a_acc, 0.0, 1.0)
     mean_rgb = rgb_acc / jnp.maximum(a_acc, 1e-6)[..., None]
     bg = jnp.asarray(background, jnp.float32)
     out_rgb = mean_rgb * coverage[..., None] + bg[:3] * (1.0 - coverage[..., None])
     out_a = coverage + bg[3] * (1.0 - coverage)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def splat(pos, color, particle_size, bounds, spec: RenderSpec,
+          background=(0.0, 0.0, 0.0, 1.0)):
+    """Render particles to an [H, W, 4] float32 image (RGB over background, A=coverage).
+
+    Each particle scatter-adds premultiplied colour over its (2*max_radius_px+1)^2
+    stamp; out-of-image contributions are dropped (clipping).
+    """
+    rgb_acc, a_acc = splat_accumulate(pos, color, particle_size, bounds, spec)
+    return splat_resolve(rgb_acc, a_acc, background)
 
 
 def to_srgb_u8(image):

@@ -1,0 +1,184 @@
+"""Multi-chip tests on 8 virtual CPU devices: halo exchange, migration, parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_particle_system_tpu.core.params import make_params
+from rust_particle_system_tpu.core.state import make_state
+from rust_particle_system_tpu.ops.grid import GridSpec
+from rust_particle_system_tpu.ops.grid_step import grid_step
+from rust_particle_system_tpu.parallel import (
+    make_band_mesh,
+    make_shard_spec,
+    make_sharded_render,
+    make_sharded_step,
+    shard_state,
+    unshard_state,
+)
+from rust_particle_system_tpu.parallel.sharded_step import insert_rows, pack_rows
+from rust_particle_system_tpu.render import RenderSpec, splat
+
+BOUNDS = (-100.0, 100.0, -50.0, 50.0)
+
+
+def _random_state(rng, n, vmax=15.0):
+    x_min, x_max, y_min, y_max = BOUNDS
+    pos = np.stack(
+        [rng.uniform(x_min, x_max, n), rng.uniform(y_min, y_max, n)], axis=-1
+    ).astype(np.float32)
+    vel = rng.uniform(-vmax, vmax, (n, 2)).astype(np.float32)
+    return pos, vel
+
+
+def test_pack_insert_roundtrip(rng):
+    vals = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random(32) < 0.4)
+    buf, buf_valid, dropped = pack_rows(vals, mask, 16)
+    assert int(dropped) == 0
+    k = int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(buf_valid)[:k], True)
+    np.testing.assert_array_equal(np.asarray(buf)[:k], np.asarray(vals)[np.asarray(mask)])
+
+    dst = jnp.zeros((32, 3), jnp.float32)
+    dst_valid = jnp.asarray(rng.random(32) < 0.5)
+    new_dst, new_valid, drop2 = insert_rows(dst, dst_valid, buf, buf_valid)
+    expect_inserted = min(k, int((~np.asarray(dst_valid)).sum()))
+    assert int(new_valid.sum()) == int(dst_valid.sum()) + expect_inserted
+    assert int(drop2) == k - expect_inserted
+
+
+def test_pack_overflow_counted(rng):
+    vals = jnp.ones((32, 2), jnp.float32)
+    mask = jnp.ones((32,), bool)
+    buf, buf_valid, dropped = pack_rows(vals, mask, 8)
+    assert int(dropped) == 24
+    assert int(buf_valid.sum()) == 8
+
+
+@pytest.mark.parametrize("n_bands", [1, 4])
+def test_sharded_step_matches_single_device(rng, n_bands):
+    """Band-sharded step == single-device grid step, on 8 fake CPU devices."""
+    n = 200
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=120.0, shader_delay=0)
+
+    sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=n, n_bands=n_bands,
+                            capacity=64, slack=4.0)
+    mesh = make_band_mesh(n_bands)
+    step = make_sharded_step(sspec, mesh)
+
+    state = make_state(pos, vel)
+    sstate, dropped = shard_state(state, sspec)
+    assert dropped == 0
+    sstate, diags = step(sstate, params)
+    assert int(diags["band_violations"]) == 0
+    assert int(diags["grid_overflow"]) == 0
+    assert int(diags["migration_send_dropped"]) == 0
+    assert int(diags["live_particles"]) == n
+
+    # single-device reference on the same (padded) grid
+    ref = grid_step(state, params, sspec.grid)
+
+    got = unshard_state(sstate)
+    # order differs; match particles by initial position via nearest association:
+    # instead, compare sorted arrays (positions are unique with prob 1)
+    def canon(s):
+        arr = np.asarray(s.pos)
+        order = np.lexsort((arr[:, 1], arr[:, 0]))
+        return arr[order], np.asarray(s.vel)[order]
+
+    got_pos, got_vel = canon(got)
+    ref_pos, ref_vel = canon(ref)
+    np.testing.assert_allclose(got_pos, ref_pos, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(got_vel, ref_vel, rtol=1e-4, atol=5e-2)
+
+
+def test_sharded_multi_frame_conservation_and_parity(rng):
+    n, n_bands, frames = 160, 4, 6
+    pos, vel = _random_state(rng, n, vmax=25.0)
+    params = make_params(bounds=BOUNDS, gravity=200.0, shader_delay=0)
+    sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=n, n_bands=n_bands,
+                            capacity=64, slack=6.0)
+    mesh = make_band_mesh(n_bands)
+    step = make_sharded_step(sspec, mesh)
+
+    state = make_state(pos, vel)
+    sstate, _ = shard_state(state, sspec)
+    ref = state
+    for _ in range(frames):
+        sstate, diags = step(sstate, params)
+        ref = grid_step(ref, params, sspec.grid)
+        assert int(diags["live_particles"]) == n  # conservation every frame
+        assert int(diags["migration_send_dropped"]) == 0
+        assert int(diags["migration_recv_dropped"]) == 0
+
+    got = unshard_state(sstate)
+    order_g = np.lexsort(np.asarray(got.pos).T)
+    order_r = np.lexsort(np.asarray(ref.pos).T)
+    np.testing.assert_allclose(
+        np.asarray(got.pos)[order_g], np.asarray(ref.pos)[order_r], rtol=1e-3, atol=5e-3
+    )
+
+
+def test_migration_actually_crosses_bands():
+    """A particle moving upward must end up owned by a higher band."""
+    n_bands = 4
+    params = make_params(bounds=BOUNDS, gravity=0.0, shader_delay=0,
+                         pressure_multiplier=0.0, near_density_multiplier=0.0,
+                         viscosity_strength=0.0, target_density=0.0)
+    sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=4, n_bands=n_bands,
+                            capacity=8, slack=16.0)
+    mesh = make_band_mesh(n_bands)
+    step = make_sharded_step(sspec, mesh)
+
+    # one particle just below the band-1/band-2 boundary, moving up fast
+    rows_per_band = sspec.rows_per_band
+    boundary_y = -50.0 + rows_per_band * 2 * 9.0  # top of band 1
+    pos = np.asarray([[0.0, boundary_y - 1.0]], np.float32)
+    vel = np.asarray([[0.0, 8.0 / float(params.dt) ]], np.float32)  # 8 units/frame
+    state = make_state(pos, vel)
+    sstate, _ = shard_state(state, sspec)
+
+    band_before = int(np.nonzero(np.asarray(sstate.valid))[0][0]) // sspec.cap
+    sstate, diags = step(sstate, params)
+    band_after = int(np.nonzero(np.asarray(sstate.valid))[0][0]) // sspec.cap
+    assert int(diags["live_particles"]) == 1
+    assert band_after == band_before + 1
+
+
+def test_sharded_render_matches_single_device(rng):
+    n, n_bands = 100, 4
+    pos, vel = _random_state(rng, n, vmax=5.0)
+    state = make_state(pos, vel)
+    params = make_params(bounds=BOUNDS, shader_delay=0)
+    sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=n, n_bands=n_bands, capacity=32,
+                            slack=6.0)
+    mesh = make_band_mesh(n_bands)
+    rspec = RenderSpec(width=200, height=100, max_radius_px=4)
+    render = make_sharded_render(sspec, mesh, rspec)
+
+    sstate, _ = shard_state(state, sspec)
+    img_sharded = np.asarray(render(sstate, params))
+
+    img_single = np.asarray(
+        splat(state.pos, state.color, params.particle_size,
+              jnp.asarray(BOUNDS, jnp.float32), rspec)
+    )
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_step_warmup_identity(rng):
+    n, n_bands = 64, 2
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=400.0, shader_delay=2)
+    sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=n, n_bands=n_bands, capacity=32,
+                            slack=6.0)
+    step = make_sharded_step(sspec, make_band_mesh(n_bands))
+    sstate, _ = shard_state(make_state(pos, vel), sspec)
+    p0 = np.asarray(sstate.pos).copy()
+    for _ in range(2):
+        sstate, _ = step(sstate, params)
+    np.testing.assert_array_equal(np.asarray(sstate.pos), p0)
+    assert int(sstate.frame) == 2
