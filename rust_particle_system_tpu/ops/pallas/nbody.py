@@ -62,7 +62,7 @@ def _kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref):
 def nbody_accel_pallas(pos, params, interpret: bool | None = None):
     """[n, 2] positions -> [n, 2] accelerations.  Drop-in for nbody_accel."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = jax.default_backend() not in ("tpu", "axon")
     n = pos.shape[0]
     n_pad = max(
         ((n + TILE_I - 1) // TILE_I) * TILE_I,

@@ -1,0 +1,81 @@
+"""Parity tests: Pallas SPH force kernels vs the pure-JAX grid step (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_particle_system_tpu.core.params import make_params
+from rust_particle_system_tpu.core.state import make_state
+from rust_particle_system_tpu.ops.grid import GridSpec
+from rust_particle_system_tpu.ops.grid_step import grid_step
+from rust_particle_system_tpu.ops.pallas.sph_step import sph_step_pallas
+from rust_particle_system_tpu.ops.reference_step import reference_step
+
+BOUNDS = (-100.0, 100.0, -50.0, 50.0)
+
+
+def _random_state(rng, n, vmax=20.0):
+    x_min, x_max, y_min, y_max = BOUNDS
+    pos = np.stack(
+        [rng.uniform(x_min, x_max, n), rng.uniform(y_min, y_max, n)], axis=-1
+    ).astype(np.float32)
+    vel = rng.uniform(-vmax, vmax, (n, 2)).astype(np.float32)
+    return pos, vel
+
+
+@pytest.mark.parametrize("capacity", [32, 64])
+def test_pallas_step_matches_grid_step(rng, capacity):
+    n = 300
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=100.0, shader_delay=0)
+    spec = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=capacity)
+    state = make_state(pos, vel)
+
+    want = grid_step(state, params, spec)
+    got = sph_step_pallas(state, params, spec)
+
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.color), np.asarray(want.color), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_step_matches_oracle_multi_frame(rng):
+    n = 96
+    pos, vel = _random_state(rng, n, vmax=10.0)
+    params = make_params(bounds=BOUNDS, gravity=150.0, shader_delay=0)
+    spec = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=64)
+
+    s_pallas = make_state(pos, vel)
+    s_ref = make_state(pos, vel)
+    ref_step = jax.jit(reference_step)
+    for _ in range(6):
+        s_pallas = sph_step_pallas(s_pallas, params, spec)
+        s_ref = ref_step(s_ref, params)
+    np.testing.assert_allclose(
+        np.asarray(s_pallas.pos), np.asarray(s_ref.pos), rtol=1e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pallas.vel), np.asarray(s_ref.vel), rtol=1e-3, atol=5e-2
+    )
+
+
+def test_pallas_step_coincident_particles_finite():
+    pos = np.zeros((4, 2), np.float32)
+    params = make_params(bounds=BOUNDS, shader_delay=0)
+    spec = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=16)
+    out = sph_step_pallas(make_state(pos), params, spec)
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+    assert np.all(np.isfinite(np.asarray(out.vel)))
+
+
+def test_pallas_step_warmup_identity(rng):
+    n = 64
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=400.0, shader_delay=2)
+    spec = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=32)
+    s = make_state(pos, vel)
+    for _ in range(2):
+        s = sph_step_pallas(s, params, spec)
+    np.testing.assert_array_equal(np.asarray(s.pos), pos)
+    assert int(s.frame) == 2
