@@ -1,14 +1,17 @@
-"""Headline benchmark: particle-steps/sec/chip on the flagship grid-SPH model.
+"""Headline benchmark: particle-steps/sec/chip on the flagship SPH model (Pallas path).
 
 Prints ONE JSON line:
     {"metric": "particle_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
-     "vs_baseline": N / 1e9, ...}
+     "vs_baseline": N / 1e9, ...extra fields...}
 
-``vs_baseline`` is measured against the BASELINE.md north-star target of 1e9
-particle-steps/sec/chip at 1M particles (the reference publishes no numbers of its own
-— see BASELINE.md).  Runs on whatever jax.devices()[0] is (the real TPU under the
-driver).  Protocol: compile once, warm 2 scanned chunks, then time FRAMES frames inside
-lax.scan (state stays on-device; one host sync at the end).
+``vs_baseline`` measures against the BASELINE.md north-star target of 1e9
+particle-steps/sec/chip at 1M particles (the reference publishes no numbers of its
+own — see BASELINE.md).  Extra fields record the secondary workloads: the config-2
+flow-field fused-integrate rate and the 1080p point-splat render time at 1M sprites.
+
+Protocol: per-frame jitted dispatch with donated state (a scanned loop measurably
+de-optimizes Pallas steps — see runtime/simulation.py::run_frames_loop), 2 warm
+frames, then FRAMES timed frames with one final host sync.
 """
 
 from __future__ import annotations
@@ -20,16 +23,17 @@ import jax
 import jax.numpy as jnp
 
 import rust_particle_system_tpu as rps
+from rust_particle_system_tpu.core.state import make_state
+from rust_particle_system_tpu.models.flow_field import flow_step, make_flow_params
 from rust_particle_system_tpu.ops.grid import GridSpec
-from rust_particle_system_tpu.ops.grid_step import grid_step
-from rust_particle_system_tpu.runtime.simulation import run_frames
+from rust_particle_system_tpu.ops.pallas.sph_step import sph_step_pallas
+from rust_particle_system_tpu.render import RenderSpec
+from rust_particle_system_tpu.render.splat_pallas import splat_pallas
 
 N = 1_000_000
 FRAMES = 20
 BOUNDS = (-960.0, 960.0, -540.0, 540.0)
 CELL_SIZE = 9.0
-CAPACITY = 128  # ~3.3x the uniform average occupancy at 1M
-CHUNK_CELLS = 64
 
 
 def uniform_init(key, n, bounds):
@@ -42,40 +46,63 @@ def uniform_init(key, n, bounds):
         ],
         axis=-1,
     )
-    from rust_particle_system_tpu.core.state import make_state
-
     return make_state(pos)
 
 
+def _time_loop(step, state, frames):
+    state = jax.block_until_ready(step(state))  # compile + warm
+    state = jax.block_until_ready(step(state))
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        state = step(state)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
+    return time.perf_counter() - t0, state
+
+
 def main() -> None:
-    spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, CAPACITY)
+    # Primary: grid-SPH with Pallas force kernels, wide cells (aspect 2).
+    spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=128, cell_aspect=2)
     params = rps.make_params(bounds=BOUNDS, gravity=300.0, shader_delay=0)
     state = uniform_init(jax.random.key(0), N, BOUNDS)
+    sph = jax.jit(lambda s: sph_step_pallas(s, params, spec), donate_argnums=0)
+    sph_elapsed, state = _time_loop(sph, state, FRAMES)
+    sph_rate = FRAMES * N / sph_elapsed
 
-    def step(s, p):
-        return grid_step(s, p, spec, CHUNK_CELLS)
+    # Secondary: config-2 flow-field fused integrate at 1M.
+    fparams = make_flow_params(bounds=BOUNDS)
+    fstate = uniform_init(jax.random.key(1), N, BOUNDS)
+    flow = jax.jit(lambda s: flow_step(s, fparams), donate_argnums=0)
+    flow_elapsed, fstate = _time_loop(flow, fstate, FRAMES)
+    flow_rate = FRAMES * N / flow_elapsed
 
-    # compile + warm
-    state = run_frames(step, state, params, 2)
-    jax.block_until_ready(state.pos)
-
+    # Secondary: 1080p Pallas point-splat render of 1M sprites.
+    rspec = RenderSpec(width=1920, height=1080, max_radius_px=4)
+    pos, color = fstate.pos, fstate.color
+    render = jax.jit(
+        lambda p, c: splat_pallas(
+            p, c, jnp.float32(2.0), jnp.asarray(BOUNDS, jnp.float32), rspec
+        )
+    )
+    img = jax.block_until_ready(render(pos, color))
     t0 = time.perf_counter()
-    state = run_frames(step, state, params, FRAMES)
-    jax.block_until_ready(state.pos)
-    elapsed = time.perf_counter() - t0
+    for _ in range(10):
+        img = render(pos, color)
+    jax.block_until_ready(img)
+    render_ms = (time.perf_counter() - t0) / 10 * 1e3
 
-    value = FRAMES * N / elapsed
     print(
         json.dumps(
             {
                 "metric": "particle_steps_per_sec_per_chip",
-                "value": value,
+                "value": sph_rate,
                 "unit": "steps/s",
-                "vs_baseline": value / 1e9,
+                "vs_baseline": sph_rate / 1e9,
                 "n_particles": N,
                 "frames": FRAMES,
-                "elapsed_s": round(elapsed, 3),
-                "backend": "grid_jax",
+                "sph_ms_per_frame": round(sph_elapsed / FRAMES * 1e3, 2),
+                "flow_steps_per_sec": round(flow_rate),
+                "splat_1080p_ms": round(render_ms, 3),
+                "backend": "pallas_sph_aspect2",
                 "device": str(jax.devices()[0]),
             }
         )

@@ -4,7 +4,8 @@ Bundles the reference's full per-frame pipeline (grid build -> density -> pressu
 viscosity -> integrate -> bounce -> colour, `src/particle_compute.rs:91-195`) plus its
 render pass into the Model protocol.  Backend selection:
 
-* ``backend="grid"``  — spatial-grid step (default; the reference's design point)
+* ``backend="pallas"`` — Pallas force kernels over wide cells (production TPU path)
+* ``backend="grid"``  — pure-JAX spatial-grid step (default; CPU-friendly)
 * ``backend="oracle"`` — all-pairs O(n²) step (small n, exact spec)
 """
 
@@ -50,6 +51,15 @@ class SPHFluid:
             if capacity is None:
                 capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
             grid = GridSpec.from_bounds(bounds, cell_size, capacity)
+        elif backend == "pallas":
+            # Wide cells fill the 128-slot lane tile: pick the aspect so that
+            # safety x the average per-cell occupancy lands near 128.
+            if capacity is None:
+                per_cell = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
+                aspect = max(1, min(4, 128 // max(per_cell, 1)))
+                grid = GridSpec.from_bounds(bounds, cell_size, 128, cell_aspect=aspect)
+            else:
+                grid = GridSpec.from_bounds(bounds, cell_size, capacity)
         return cls(
             grid=grid,
             render_spec=render_spec or RenderSpec(),
@@ -64,6 +74,10 @@ class SPHFluid:
         return scatter_init(key, n, self.bounds)
 
     def step(self, state: ParticleState, params: SimParams) -> ParticleState:
+        if self.backend == "pallas":
+            from ..ops.pallas.sph_step import sph_step_pallas
+
+            return sph_step_pallas(state, params, self.grid)
         if self.backend == "grid":
             return grid_step(state, params, self.grid, self.chunk_cells)
         return reference_step(state, params)

@@ -196,8 +196,9 @@ def grid_physics(state: ParticleState, params: SimParams, spec: GridSpec,
     )
     vel_s = vel_s + cells_to_sorted(f_v) * params.viscosity_strength * dt
 
-    # Un-sort back to original particle order, integrate, bounce, colour.
-    new_vel = jnp.zeros_like(vel_s).at[grid.perm].set(vel_s)
+    # Un-sort back to original particle order via the inverse permutation (a gather;
+    # a scatter here serializes on TPU), then integrate, bounce, colour.
+    new_vel = vel_s[jnp.argsort(grid.perm)]
     pos = state.pos + new_vel * dt
     pos, new_vel = K.bounce_bounds(pos, new_vel, params.bounds, params.damping_factor)
     color = K.energy_color(new_vel, params.max_energy)

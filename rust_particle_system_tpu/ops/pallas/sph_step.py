@@ -53,27 +53,33 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     fpx, fpy = pressure_cells_pallas(px, py, idx, rho, rhon, spec=spec,
                                      params=params, interpret=interpret)
 
-    def plane_to_sorted(plane):
-        """[gh, gw, C] plane -> per-sorted-particle values (0 for overflow)."""
-        flat = plane.reshape(nc, C)
-        in_table = grid.slot < C
-        s = jnp.minimum(grid.slot, C - 1)
-        vals = flat[grid.sorted_keys, s]
-        return jnp.where(in_table, vals, 0.0)
-
-    f_p = jnp.stack([plane_to_sorted(fpx), plane_to_sorted(fpy)], axis=-1)
-    vel_s = vel_s + f_p * dt
-
+    # Velocity updates happen in PLANE space (elementwise over cell slots) so the
+    # per-particle pull-back gather runs once, at the end — gathers dominate the
+    # XLA glue at 1M particles.
     cvel = gather_to_cells(grid, spec, vel_s)[:nc]
-    vx = jnp.where(live, cvel[..., 0], 0.0).reshape(gh, gw, C)
-    vy = jnp.where(live, cvel[..., 1], 0.0).reshape(gh, gw, C)
+    vx = jnp.where(live, cvel[..., 0], 0.0).reshape(gh, gw, C) + fpx * dt
+    vy = jnp.where(live, cvel[..., 1], 0.0).reshape(gh, gw, C) + fpy * dt
 
     fvx, fvy = viscosity_cells_pallas(px, py, idx, vx, vy, spec=spec,
                                       params=params, interpret=interpret)
-    f_v = jnp.stack([plane_to_sorted(fvx), plane_to_sorted(fvy)], axis=-1)
-    vel_s = vel_s + f_v * params.viscosity_strength * dt
+    vx = vx + fvx * params.viscosity_strength * dt
+    vy = vy + fvy * params.viscosity_strength * dt
 
-    new_vel = jnp.zeros_like(vel_s).at[grid.perm].set(vel_s)
+    def plane_to_sorted(plane):
+        """[gh, gw, C] plane -> per-sorted-particle values."""
+        flat = plane.reshape(nc, C)
+        s = jnp.minimum(grid.slot, C - 1)
+        return flat[grid.sorted_keys, s]
+
+    in_table = grid.slot < C
+    # Overflow particles (beyond capacity) keep their post-gravity velocity.
+    vel_s = jnp.where(
+        in_table[:, None],
+        jnp.stack([plane_to_sorted(vx), plane_to_sorted(vy)], axis=-1),
+        vel_s,
+    )
+
+    new_vel = vel_s[jnp.argsort(grid.perm)]  # inverse-perm gather, not scatter
     pos = state.pos + new_vel * dt
     pos, new_vel = K.bounce_bounds(pos, new_vel, params.bounds, params.damping_factor)
     color = K.energy_color(new_vel, params.max_energy)

@@ -147,12 +147,14 @@ def _build_local_grid(local_keys, spec: ShardSpec):
     slot = jnp.arange(cap, dtype=jnp.int32) - starts[jnp.minimum(ks, LC)].astype(jnp.int32)
     live = ks < LC
     overflow = jnp.sum(live & (slot >= C)).astype(jnp.int32)
-    table = jnp.full((LC + 1, C + 1), -1, jnp.int32)
-    table = table.at[jnp.minimum(ks, LC), jnp.minimum(slot, C)].set(
-        jnp.arange(cap, dtype=jnp.int32)
-    )[:, :C]
-    # wipe trash row (it collected empty-slot entries)
-    table = table.at[LC].set(-1)
+    # Arithmetic slot table (no scatter — scatters serialize on TPU):
+    # table[c, s] = starts[c] + s while within the run; trash row stays empty.
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), cap, jnp.int32)])
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (LC + 1, C), 1)
+    rows = starts[:, None] + sidx
+    in_run = rows < ends[:, None]
+    table = jnp.where(in_run, rows, -1)
+    table = table.at[LC].set(-1)  # static row wipe (cheap)
     return perm, ks, slot, table, overflow
 
 
@@ -209,7 +211,7 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
 
     # 3. local binning (keys relative to the band's cell rows)
     cx = jnp.clip(
-        jnp.floor((pred[:, 0] - g.x_min) / g.cell_size).astype(jnp.int32), 0, gw - 1
+        jnp.floor((pred[:, 0] - g.x_min) / g.cell_width).astype(jnp.int32), 0, gw - 1
     )
     cy = jnp.clip(
         jnp.floor((pred[:, 1] - g.y_min) / g.cell_size).astype(jnp.int32), 0, g.gh - 1
@@ -310,7 +312,7 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
     vel_s = vel_s + cells_to_sorted(f_v) * params.viscosity_strength * dt
 
     # 10. unsort, integrate, bounce, colour
-    new_vel = jnp.zeros_like(vel_s).at[perm].set(vel_s)
+    new_vel = vel_s[jnp.argsort(perm)]  # inverse-perm gather, not scatter
     new_pos = pos + new_vel * dt
     new_pos, new_vel = K.bounce_bounds(new_pos, new_vel, params.bounds, params.damping_factor)
     new_color = K.energy_color(new_vel, params.max_energy)

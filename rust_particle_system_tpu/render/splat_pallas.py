@@ -1,0 +1,183 @@
+"""Pallas point-splat rasterizer — the TPU production renderer (sub-ms @ 1080p goal).
+
+The reference rasterizes with the GPU's fixed-function instancing + blending
+(`src/particle_render.rs:101`, 6 verts x n instances).  TPUs have no rasterizer, and
+scatter-adds serialize, so this kernel inverts the problem into streaming dense math:
+
+1. particles are binned into **render cells** of PATCH_STRIDE x PATCH_STRIDE pixels
+   (via the same sort-based ``ops.grid`` machinery, in pixel space);
+2. a Pallas kernel forward-splats each cell's <=capacity particles into its private
+   ``PATCH x PATCH`` pixel patch (cell extent + margin on every side) — a
+   ``[cells_per_program, capacity, PATCH*PATCH]`` VPU tile, no scatter, no overlap;
+3. XLA reassembles the image: patches overlap their neighbors by exactly one stride,
+   so the final image is a **4-term shifted add** of the patch grid (pure slicing).
+
+The sprite profile and the commutative premultiplied blend match ``splat_jax.py``
+exactly (its scatter-add implementation is this kernel's parity oracle); the fragment
+profile itself mirrors render_shader.wgsl:86-98.
+
+Constraint: the sprite radius in pixels must fit the margin
+(``particle_size * scale <= MARGIN``); the wrapper asserts this statically via
+``RenderSpec.max_radius_px <= MARGIN``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.grid import GridSpec, build_grid
+from .splat_jax import RenderSpec, splat_resolve, world_to_pixel
+
+PATCH_STRIDE = 8  # render-cell extent in pixels
+MARGIN = 4  # sprite-radius margin on each side
+PATCH = PATCH_STRIDE + 2 * MARGIN  # 16: patch edge in pixels
+_PIX = PATCH * PATCH  # 256 lanes
+_FAR = 1.0e6
+
+_TC = 8  # cells per program
+
+
+def _splat_kernel(scal_ref, px_ref, py_ref, r_ref, g_ref, b_ref,
+                  pr_ref, pg_ref, pb_ref, pa_ref):
+    """Forward-splat one block of cells into their pixel patches.
+
+    Inputs [TC, cap] (pixel-space positions + colors); outputs [TC, PATCH*PATCH].
+    """
+    radius = scal_ref[0]
+    gwc = scal_ref[1]  # render-grid width (f32, exact for small ints)
+    t = pl.program_id(0)
+
+    cap = px_ref.shape[1]
+    # cell ids of this block -> patch pixel origin (top-left, pixel coords)
+    cell = (t * _TC + jax.lax.broadcasted_iota(jnp.int32, (_TC, 1, 1), 0)).astype(jnp.float32)
+    cy = jnp.floor(cell / gwc)
+    cx = cell - cy * gwc
+    origin_x = cx * PATCH_STRIDE - MARGIN
+    origin_y = cy * PATCH_STRIDE - MARGIN
+
+    # patch pixel centres [1, 1, PIX]
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _PIX), 2).astype(jnp.float32)
+    prow = jnp.floor(pidx / PATCH)
+    pcol = pidx - prow * PATCH
+    pix_x = origin_x + pcol + 0.5  # [TC, 1, PIX]
+    pix_y = origin_y + prow + 0.5
+
+    dx = pix_x - px_ref[:][:, :, None]  # [TC, cap, PIX]
+    dy = pix_y - py_ref[:][:, :, None]
+    dist = jnp.sqrt(dx * dx + dy * dy)
+
+    # soft-disc coverage: 1 - smoothstep(0.8r, r, d), discard < 0.01
+    # (render_shader.wgsl:86-98)
+    edge0 = 0.8 * radius
+    tt = jnp.clip((dist - edge0) / jnp.maximum(radius - edge0, 1e-6), 0.0, 1.0)
+    alpha = 1.0 - tt * tt * (3.0 - 2.0 * tt)
+    alpha = jnp.where(alpha < 0.01, 0.0, alpha)
+
+    pr_ref[:] = jnp.sum(alpha * r_ref[:][:, :, None], axis=1)
+    pg_ref[:] = jnp.sum(alpha * g_ref[:][:, :, None], axis=1)
+    pb_ref[:] = jnp.sum(alpha * b_ref[:][:, :, None], axis=1)
+    pa_ref[:] = jnp.sum(alpha, axis=1)
+
+
+def _assemble(patches, ghc, gwc, height, width):
+    """[ncells, PATCH*PATCH] patch plane -> [H, W] image accumulator.
+
+    Every pixel is covered by exactly 2x2 patches (stride 8, extent 16); the image is
+    the sum of the four (dy, dx)-shifted patch quadrant grids — pure reshapes/pads.
+    """
+    p = patches.reshape(ghc, gwc, PATCH, PATCH)
+    # Scatter-free: lay each patch at (cy*S - M, cx*S - M) on a padded canvas by
+    # splitting the patch into 2x2 stride-sized quadrants; quadrant (qy, qx) of cell
+    # (cy, cx) lands at canvas tile (cy + qy, cx + qx) with fixed in-tile offset.
+    S, M = PATCH_STRIDE, MARGIN
+    canvas = jnp.zeros((ghc + 1, gwc + 1, S, S), patches.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            quad = p[:, :, qy * S : (qy + 1) * S, qx * S : (qx + 1) * S]
+            canvas = canvas.at[
+                qy : qy + ghc, qx : qx + gwc
+            ].add(quad)
+    # canvas tile (ty, tx) covers pixels [ty*S - M, ...): crop margin and size
+    img = canvas.transpose(0, 2, 1, 3).reshape((ghc + 1) * S, (gwc + 1) * S)
+    return img[M : M + height, M : M + width]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret", "capacity"))
+def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
+                 background=(0.0, 0.0, 0.0, 1.0), capacity: int = 64,
+                 interpret: bool | None = None):
+    """Drop-in for ``splat_jax.splat`` (same signature + blend), Pallas-accelerated."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    assert spec.max_radius_px <= MARGIN, (
+        f"sprite radius {spec.max_radius_px}px exceeds the {MARGIN}px patch margin"
+    )
+
+    px, py, sx, _sy = world_to_pixel(pos, bounds, spec)
+    radius_px = particle_size * sx
+
+    # Render grid in pixel space; pad to a multiple of the program tile.
+    gwc = -(-spec.width // PATCH_STRIDE)
+    ghc = -(-spec.height // PATCH_STRIDE)
+    rspec = GridSpec(
+        x_min=0.0, y_min=0.0, cell_size=float(PATCH_STRIDE), gw=gwc, gh=ghc,
+        capacity=capacity,
+    )
+    pix = jnp.stack([px, py], axis=-1)
+    grid = build_grid(rspec, pix)
+    nc = rspec.num_cells
+    nc_pad = -(-(nc) // _TC) * _TC
+
+    def plane(vals_sorted, fill):
+        """[n] sorted values -> [nc_pad, capacity] cell plane."""
+        n = vals_sorted.shape[0]
+        padded = jnp.concatenate([vals_sorted, jnp.zeros((1,), vals_sorted.dtype)])
+        idx = jnp.where(grid.table >= 0, grid.table, n)
+        out = jnp.where(grid.table >= 0, padded[idx], fill)[:nc]
+        if nc_pad > nc:
+            out = jnp.concatenate(
+                [out, jnp.full((nc_pad - nc, capacity), fill, out.dtype)]
+            )
+        return out
+
+    px_s = px[grid.perm]
+    py_s = py[grid.perm]
+    col_s = color[grid.perm]
+
+    planes = [
+        plane(px_s, _FAR),
+        plane(py_s, _FAR),
+        plane(col_s[:, 0], 0.0),
+        plane(col_s[:, 1], 0.0),
+        plane(col_s[:, 2], 0.0),
+    ]
+    scal = jnp.stack([radius_px, jnp.float32(gwc)]).astype(jnp.float32)
+
+    block = lambda: pl.BlockSpec((_TC, capacity), lambda t: (t, 0))
+    out_block = pl.BlockSpec((_TC, _PIX), lambda t: (t, 0))
+    pr, pg, pb, pa = pl.pallas_call(
+        _splat_kernel,
+        grid=(nc_pad // _TC,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [block() for _ in planes],
+        out_specs=tuple([out_block] * 4),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nc_pad, _PIX), jnp.float32)] * 4
+        ),
+        interpret=interpret,
+    )(scal, *planes)
+
+    rgb_acc = jnp.stack(
+        [
+            _assemble(pr[:nc], ghc, gwc, spec.height, spec.width),
+            _assemble(pg[:nc], ghc, gwc, spec.height, spec.width),
+            _assemble(pb[:nc], ghc, gwc, spec.height, spec.width),
+        ],
+        axis=-1,
+    )
+    a_acc = _assemble(pa[:nc], ghc, gwc, spec.height, spec.width)
+    return splat_resolve(rgb_acc, a_acc, background)

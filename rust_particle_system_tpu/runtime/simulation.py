@@ -29,6 +29,29 @@ def run_frames(step_fn, state: ParticleState, params: Any, num_frames: int) -> P
     return state
 
 
+def run_frames_loop(step_fn, state: ParticleState, params: Any, num_frames: int):
+    """Advance frames with per-frame jitted dispatch (donated carry).
+
+    Measured on v5e, ``lax.scan`` over a grid/Pallas SPH step runs ~9x slower than
+    dispatching the same jitted step from a host loop (XLA appears to lose buffer
+    reuse across scan iterations with pallas_call in the body), so this is the
+    default driver for heavyweight steps; dispatch overhead is microseconds.
+    """
+    step = _loop_step(step_fn)
+    for _ in range(num_frames):
+        state, params = step(state, params)
+    return state
+
+
+@functools.lru_cache(maxsize=32)
+def _loop_step(step_fn):
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state, params):
+        return step_fn(state, params), params
+
+    return step
+
+
 @functools.partial(
     jax.jit, static_argnames=("step_fn", "num_frames", "save_every"), donate_argnums=1
 )
@@ -78,7 +101,9 @@ class Simulation:
         return self.params
 
     def run(self, num_frames: int):
-        self.state = run_frames(self.model.step, self.state, self.params, num_frames)
+        self.state = run_frames_loop(
+            self.model.step, self.state, self.params, num_frames
+        )
         return self.state
 
     def render(self):
