@@ -86,3 +86,18 @@ class SPHFluid:
         return splat(
             state.pos, state.color, params.particle_size, params.bounds, self.render_spec
         )
+
+    def step_and_render(self, state: ParticleState, params: SimParams):
+        """Fused frame: physics + image in one program (pallas backend only).
+
+        Reuses the step's cell binning for the rasterizer, so the render adds no
+        sort/gather work — see render/splat_planes.py.  Returns (state, image).
+        """
+        if self.backend != "pallas":
+            new_state = self.step(state, params)
+            return new_state, self.render(new_state, params)
+        from ..ops.pallas.sph_step import sph_frame_pallas
+
+        return sph_frame_pallas(
+            state, params, self.grid, self.render_spec, bounds_static=self.bounds
+        )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ...core import kernels as K
 from ...core.params import SimParams
 from ...core.state import ParticleState
-from ...ops.grid import GridSpec, build_grid, gather_to_cells
+from ...ops.grid import GridSpec, build_grid
 from .sph import (
     _SENTINEL,
     density_cells_pallas,
@@ -26,8 +26,12 @@ from .sph import (
 
 
 def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
-                       interpret: bool | None = None):
-    """One physics frame.  Returns (new_state, overflow)."""
+                       interpret: bool | None = None, want_planes: bool = False):
+    """One physics frame.  Returns (new_state, overflow[, planes]).
+
+    With ``want_planes`` the cell-dense planes of the frame's END state (positions,
+    velocities, live mask) are also returned, enabling the fused renderer
+    (``render/splat_planes.py``) to draw the frame without re-binning."""
     gh, gw, C = spec.gh, spec.gw, spec.capacity
     nc = spec.num_cells
     dt = params.dt
@@ -36,15 +40,21 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     pred = state.pos + vel * dt
 
     grid = build_grid(spec, pred)
-    pred_s = pred[grid.perm]
-    vel_s = vel[grid.perm]
+    n = pred.shape[0]
+
+    # TPU gather cost is per ROW and flat in row width (measured), so the whole
+    # cell-plane build rides ONE wide gather: pack (pred, vel) -> [n+1, 4] with an
+    # empty-slot fill row, gather via the slot table once.
+    packed = jnp.concatenate([pred, vel], axis=-1)  # [n, 4]
+    fills = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], jnp.float32)
+    packed = jnp.concatenate([packed[grid.perm], fills[None, :]], axis=0)
 
     table = grid.table[:nc]  # [nc, C]
     live = table >= 0
-    cpos = gather_to_cells(grid, spec, pred_s)[:nc]  # [nc, C, 2]
+    cells = packed[jnp.where(live, table, n)]  # [nc, C, 4]
 
-    px = jnp.where(live, cpos[..., 0], _SENTINEL).reshape(gh, gw, C)
-    py = jnp.where(live, cpos[..., 1], _SENTINEL).reshape(gh, gw, C)
+    px = cells[..., 0].reshape(gh, gw, C)
+    py = cells[..., 1].reshape(gh, gw, C)
     idx = jnp.where(live, table, -1).reshape(gh, gw, C)
 
     rho, rhon = density_cells_pallas(px, py, spec=spec, params=params,
@@ -54,39 +64,51 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
                                      params=params, interpret=interpret)
 
     # Velocity updates happen in PLANE space (elementwise over cell slots) so the
-    # per-particle pull-back gather runs once, at the end — gathers dominate the
-    # XLA glue at 1M particles.
-    cvel = gather_to_cells(grid, spec, vel_s)[:nc]
-    vx = jnp.where(live, cvel[..., 0], 0.0).reshape(gh, gw, C) + fpx * dt
-    vy = jnp.where(live, cvel[..., 1], 0.0).reshape(gh, gw, C) + fpy * dt
+    # per-particle pull-back gather runs once, at the end.
+    vx = cells[..., 2].reshape(gh, gw, C) + fpx * dt
+    vy = cells[..., 3].reshape(gh, gw, C) + fpy * dt
 
     fvx, fvy = viscosity_cells_pallas(px, py, idx, vx, vy, spec=spec,
                                       params=params, interpret=interpret)
     vx = vx + fvx * params.viscosity_strength * dt
     vy = vy + fvy * params.viscosity_strength * dt
 
-    def plane_to_sorted(plane):
-        """[gh, gw, C] plane -> per-sorted-particle values."""
-        flat = plane.reshape(nc, C)
-        s = jnp.minimum(grid.slot, C - 1)
-        return flat[grid.sorted_keys, s]
-
-    in_table = grid.slot < C
+    # Packed final pull-back: one [n]-row gather of (vx, vy) pairs.
+    vplane = jnp.stack([vx.reshape(nc, C), vy.reshape(nc, C)], axis=-1)  # [nc, C, 2]
+    s = jnp.minimum(grid.slot, C - 1)
+    pulled = vplane[grid.sorted_keys, s]  # [n, 2], sorted order
+    in_table = (grid.slot < C)[:, None]
     # Overflow particles (beyond capacity) keep their post-gravity velocity.
-    vel_s = jnp.where(
-        in_table[:, None],
-        jnp.stack([plane_to_sorted(vx), plane_to_sorted(vy)], axis=-1),
-        vel_s,
-    )
+    vel_s = jnp.where(in_table, pulled, packed[:n, 2:4])
 
     new_vel = vel_s[jnp.argsort(grid.perm)]  # inverse-perm gather, not scatter
     pos = state.pos + new_vel * dt
     pos, new_vel = K.bounce_bounds(pos, new_vel, params.bounds, params.damping_factor)
     color = K.energy_color(new_vel, params.max_energy)
-    return (
-        ParticleState(pos=pos, vel=new_vel, color=color, frame=state.frame),
-        grid.overflow,
+    new_state = ParticleState(pos=pos, vel=new_vel, color=color, frame=state.frame)
+    if not want_planes:
+        return new_state, grid.overflow
+
+    # End-of-frame planes for the fused renderer: final position = predicted +
+    # (v_final − v_predicted)·dt, then the same bounce, all elementwise in plane space.
+    vx0 = cells[..., 2].reshape(gh, gw, C)
+    vy0 = cells[..., 3].reshape(gh, gw, C)
+    fx_plane = px + (vx - vx0) * dt
+    fy_plane = py + (vy - vy0) * dt
+    plane_pos = jnp.stack([fx_plane, fy_plane], axis=-1)
+    plane_vel = jnp.stack([vx, vy], axis=-1)
+    plane_pos, plane_vel = K.bounce_bounds(
+        plane_pos, plane_vel, params.bounds, params.damping_factor
     )
+    live3 = live.reshape(gh, gw, C)
+    planes = {
+        "px": jnp.where(live3, plane_pos[..., 0], jnp.float32(1e6)),
+        "py": jnp.where(live3, plane_pos[..., 1], jnp.float32(1e6)),
+        "vx": plane_vel[..., 0],
+        "vy": plane_vel[..., 1],
+        "live": live3,
+    }
+    return new_state, grid.overflow, planes
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
@@ -100,3 +122,29 @@ def sph_step_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
         state,
     )
     return stepped._replace(frame=state.frame + 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "render_spec", "bounds_static", "interpret")
+)
+def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
+                     render_spec, bounds_static: tuple | None = None,
+                     interpret: bool | None = None):
+    """Fused step + render: one frame of physics AND its image, sharing the binning.
+
+    Returns (new_state, image).  The image is drawn from the frame's cell planes with
+    zero extra binning work (see render/splat_planes.py).  No warm-up gating — callers
+    wanting the reference's 5-frame delay should use sph_step_pallas for those frames.
+    """
+    from ...render.splat_planes import splat_from_planes
+
+    new_state, _overflow, planes = sph_physics_pallas(
+        state, params, spec, interpret, want_planes=True
+    )
+    image = splat_from_planes(
+        planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
+        params.particle_size, params.max_energy,
+        bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
+        interpret=interpret,
+    )
+    return new_state._replace(frame=state.frame + 1), image

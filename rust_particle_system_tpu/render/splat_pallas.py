@@ -133,29 +133,35 @@ def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
     nc = rspec.num_cells
     nc_pad = -(-(nc) // _TC) * _TC
 
-    def plane(vals_sorted, fill):
-        """[n] sorted values -> [nc_pad, capacity] cell plane."""
-        n = vals_sorted.shape[0]
-        padded = jnp.concatenate([vals_sorted, jnp.zeros((1,), vals_sorted.dtype)])
-        idx = jnp.where(grid.table >= 0, grid.table, n)
-        out = jnp.where(grid.table >= 0, padded[idx], fill)[:nc]
+    # TPU gather cost is per ROW and flat in row width, so all five channels ride ONE
+    # wide gather: table -> original particle index (perm composed in), then one
+    # [rows, 8]-wide gather of (px, py, r, g, b, pad...).
+    n = pos.shape[0]
+    values = jnp.concatenate(
+        [
+            px[:, None],
+            py[:, None],
+            color[:, :3],
+            jnp.zeros((n, 3), jnp.float32),
+        ],
+        axis=-1,
+    )  # [n, 8]
+    fills = jnp.asarray([_FAR, _FAR, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    values = jnp.concatenate([values, fills[None, :]], axis=0)  # row n = empty-slot fill
+
+    live = grid.table >= 0
+    orig_idx = jnp.where(live, grid.perm[jnp.minimum(grid.table, n - 1)], n)
+    gathered = values[orig_idx]  # [nc+1, capacity, 8]
+
+    def plane(ch):
+        out = gathered[:nc, :, ch]
         if nc_pad > nc:
             out = jnp.concatenate(
-                [out, jnp.full((nc_pad - nc, capacity), fill, out.dtype)]
+                [out, jnp.full((nc_pad - nc, capacity), float(fills[ch]), out.dtype)]
             )
         return out
 
-    px_s = px[grid.perm]
-    py_s = py[grid.perm]
-    col_s = color[grid.perm]
-
-    planes = [
-        plane(px_s, _FAR),
-        plane(py_s, _FAR),
-        plane(col_s[:, 0], 0.0),
-        plane(col_s[:, 1], 0.0),
-        plane(col_s[:, 2], 0.0),
-    ]
+    planes = [plane(0), plane(1), plane(2), plane(3), plane(4)]
     scal = jnp.stack([radius_px, jnp.float32(gwc)]).astype(jnp.float32)
 
     block = lambda: pl.BlockSpec((_TC, capacity), lambda t: (t, 0))
