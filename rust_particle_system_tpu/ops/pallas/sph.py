@@ -220,6 +220,55 @@ def _run(update, scal, planes, n_out, spec, interpret):
     return tuple(o[:, :gw, :C] for o in outs)
 
 
+# --------------------------------------------------------------------------------------
+# Pre-padded entry points (used by the multi-chip sharded step, whose ghost rows come
+# from ppermute halo exchange rather than sentinel padding).
+# --------------------------------------------------------------------------------------
+
+def plane_geometry(gw: int, capacity: int):
+    """(cp, tc, wt): lane-padded slot dim, cells per tile, tile-padded width."""
+    cp = _lane_pad(capacity)
+    tc = _tile_cells(cp)
+    wt = ((gw + tc - 1) // tc) * tc
+    return cp, tc, wt
+
+
+def run_padded(update, scal, padded_planes, n_out: int, interpret: bool):
+    """Run a pass over pre-padded planes [rows+2, wt+2, CP]; returns [rows, wt, CP].
+
+    The caller owns ALL padding: ghost rows (halo or sentinel), ghost columns, tile
+    and lane padding.  Plane geometry must come from :func:`plane_geometry`.
+    """
+    rows = padded_planes[0].shape[0] - 2
+    wtp2, cp = padded_planes[0].shape[1], padded_planes[0].shape[2]
+    wt = wtp2 - 2
+    tc = _tile_cells(cp)
+    call, args = _plane_call(update, padded_planes, n_out, rows, wt, cp, tc, interpret)
+    args[0] = scal
+    return call(*args)
+
+
+def density_scalars(params):
+    return jnp.stack(
+        [params.smoothing_radius, params.density_kernel_norm,
+         params.near_density_kernel_norm]
+    ).astype(jnp.float32)
+
+
+def pressure_scalars(params):
+    return jnp.stack(
+        [params.smoothing_radius, params.density_kernel_norm,
+         params.near_density_kernel_norm, params.target_density,
+         params.pressure_multiplier, params.near_density_multiplier]
+    ).astype(jnp.float32)
+
+
+def viscosity_scalars(params):
+    return jnp.stack(
+        [params.smoothing_radius, params.viscosity_kernel_norm]
+    ).astype(jnp.float32)
+
+
 def density_cells_pallas(px, py, *, spec, params, interpret=None):
     """[gh, gw, C] position planes -> (rho, rhon) [gh, gw, C]."""
     _, gh, gw, cp, tc, wt = _setup(spec, interpret)

@@ -35,12 +35,16 @@ from jax.sharding import PartitionSpec as P
 
 from ..core import kernels as K
 from ..core.params import SimParams
-from ..ops.grid_step import (
-    CellChunk,
-    _chunked_cells,
-    density_pass,
-    pressure_pass,
-    viscosity_pass,
+from ..ops.pallas.sph import (
+    _SENTINEL,
+    _density_update,
+    _pressure_update,
+    _viscosity_update,
+    density_scalars,
+    plane_geometry,
+    pressure_scalars,
+    run_padded,
+    viscosity_scalars,
 )
 from .shard import ShardedState, ShardSpec
 
@@ -107,32 +111,6 @@ def exchange_halo(top_row, bottom_row, axis: str, n_bands: int):
 # Local grid build (band-local variant of ops.grid.build_grid).
 # ----------------------------------------------------------------------------------
 
-def _local_neighbor_ids(spec: ShardSpec):
-    """Static [local_cells, 9] table into the extended cell array:
-    [0, LC): local cells; [LC, LC+gw): bottom ghost; [LC+gw, LC+2gw): top ghost;
-    LC+2gw: empty padding."""
-    gw, R = spec.grid.gw, spec.rows_per_band
-    LC = R * gw
-    ids = np.empty((LC, 9), np.int32)
-    for r in range(R):
-        for c in range(gw):
-            k = 0
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    nr, ncol = r + dy, c + dx
-                    if ncol < 0 or ncol >= gw:
-                        v = LC + 2 * gw  # off-grid horizontally
-                    elif nr == -1:
-                        v = LC + ncol  # bottom ghost
-                    elif nr == R:
-                        v = LC + gw + ncol  # top ghost
-                    else:
-                        v = nr * gw + ncol
-                    ids[r * gw + c, k] = v
-                    k += 1
-    return jnp.asarray(ids)
-
-
 def _build_local_grid(local_keys, spec: ShardSpec):
     """Sort band-local keys; return (perm, sorted_keys, slot, table, overflow).
 
@@ -158,22 +136,12 @@ def _build_local_grid(local_keys, spec: ShardSpec):
     return perm, ks, slot, table, overflow
 
 
-def _cells_from_table(table_rows, sorted_vals):
-    """Gather [rows, C] table of sorted indices into cell-dense values (0 for empty)."""
-    n = sorted_vals.shape[0]
-    padded = jnp.concatenate(
-        [sorted_vals, jnp.zeros((1,) + sorted_vals.shape[1:], sorted_vals.dtype)]
-    )
-    idx = jnp.where(table_rows >= 0, table_rows, n)
-    return padded[idx]
-
-
 # ----------------------------------------------------------------------------------
 # The per-chip physics body.
 # ----------------------------------------------------------------------------------
 
 def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec,
-                   axis: str, chunk_cells: int):
+                   axis: str, interpret: bool):
     g = spec.grid
     gw, R, C, LC = g.gw, spec.rows_per_band, g.capacity, spec.local_cells
     D, cap = spec.n_bands, spec.cap
@@ -220,96 +188,97 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
     local_keys = jnp.where(valid, local_cy * gw + cx, LC)
     perm, ks, slot, table, grid_overflow = _build_local_grid(local_keys, spec)
 
-    pred_s = pred[perm]
-    vel_s = vel[perm]
+    # 4. cell planes via ONE wide (pred, vel) gather, exactly like the single-chip
+    # Pallas step, but with halo ghost rows coming from ppermute instead of padding.
+    cp, tc, wt = plane_geometry(gw, C)
+    packed = jnp.concatenate([pred, vel], axis=-1)[perm]  # [cap, 4] sorted
+    fills = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], jnp.float32)
+    packed = jnp.concatenate([packed, fills[None, :]], axis=0)
+    tbl = table[:LC]
+    live = tbl >= 0  # [LC, C]
+    cells = packed[jnp.where(live, tbl, cap)]  # [LC, C, 4]
 
-    cell_pos = _cells_from_table(table[:LC], pred_s)  # [LC, C, 2]
-    cell_mask = (table[:LC] >= 0).astype(jnp.float32)  # [LC, C]
-
-    # 4. halo: ghost positions + validity
     def row_slices(x):
-        return x[(R - 1) * gw : R * gw], x[0:gw]  # (top row, bottom row)
+        """(top cell-row, bottom cell-row) of an [LC, C(,k)] cell array."""
+        return x[(R - 1) * gw : R * gw], x[0:gw]
 
-    gb_pos, gt_pos = exchange_halo(*row_slices(cell_pos), axis, D)
-    gb_mask, gt_mask = exchange_halo(*row_slices(cell_mask), axis, D)
+    def halo(x):
+        """Exchange top/bottom cell-rows; edge bands receive zeros."""
+        return exchange_halo(*row_slices(x), axis, D)
 
-    # ghost pseudo-indices: >= cap, never collide with local sorted indices
-    lin = jnp.arange(gw * C, dtype=jnp.int32).reshape(gw, C)
-    gb_idx = jnp.where(gb_mask > 0.5, cap + lin, -1)
-    gt_idx = jnp.where(gt_mask > 0.5, cap + gw * C + lin, -1)
-
-    nids = _local_neighbor_ids(spec)  # [LC, 9]
-
-    def extend(local_cells_arr, gb, gt):
-        """[LC(+ghost rows)+pad, C, ...] extended cell array for neighbor gathers."""
-        pad = jnp.zeros((1,) + local_cells_arr.shape[1:], local_cells_arr.dtype)
-        return jnp.concatenate([local_cells_arr, gb, gt, pad], axis=0)
-
-    def extend_idx(local_idx, gb, gt):
-        pad = jnp.full((1,) + local_idx.shape[1:], -1, local_idx.dtype)
-        return jnp.concatenate([local_idx, gb, gt, pad], axis=0)
-
-    epos = extend(cell_pos, gb_pos, gt_pos)
-    eidx = extend_idx(table[:LC], gb_idx, gt_idx)
-
-    own_pos = cell_pos
-    own_idx = table[:LC]
-    nbr_pos = epos[nids].reshape(LC, 9 * C, 2)
-    nbr_idx = eidx[nids].reshape(LC, 9 * C)
-
-    def run_pass(fn, extras):
-        chunks = _chunked_cells(
-            [(own_pos, 0.0), (own_idx, -1), (nbr_pos, 0.0), (nbr_idx, -1)]
-            + list(extras),
-            LC,
-            chunk_cells,
+    def plane_with_halo(interior, gb, gt, fill):
+        """[LC, C] interior + [gw, C] ghosts -> padded plane [R+2, wt+2, CP]."""
+        p = jnp.full((R + 2, wt + 2, cp), fill, jnp.float32)
+        p = p.at[1 : R + 1, 1 : gw + 1, :C].set(
+            interior.reshape(R, gw, C).astype(jnp.float32)
         )
+        p = p.at[0, 1 : gw + 1, :C].set(gb.astype(jnp.float32))
+        p = p.at[R + 1, 1 : gw + 1, :C].set(gt.astype(jnp.float32))
+        return p
 
-        def body(args):
-            return fn(CellChunk(*args[:4]), *args[4:])
+    cmask = live.astype(jnp.float32)
+    gb_mask, gt_mask = halo(cmask)
+    cpx = jnp.where(live, cells[..., 0], _SENTINEL)
+    cpy = jnp.where(live, cells[..., 1], _SENTINEL)
+    gb_px, gt_px = halo(cpx)
+    gb_py, gt_py = halo(cpy)
+    # ghost positions: ppermute zero-fills edge bands; re-park dead ghosts far away
+    gb_px = jnp.where(gb_mask > 0.5, gb_px, _SENTINEL)
+    gt_px = jnp.where(gt_mask > 0.5, gt_px, _SENTINEL)
+    gb_py = jnp.where(gb_mask > 0.5, gb_py, _SENTINEL)
+    gt_py = jnp.where(gt_mask > 0.5, gt_py, _SENTINEL)
 
-        out = jax.lax.map(body, tuple(chunks))
-        return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:LC], out)
+    # idx channel: local sorted indices; ghost pseudo-indices >= cap never collide
+    lin = jnp.arange(gw * C, dtype=jnp.int32).reshape(gw, C).astype(jnp.float32)
+    idx_local = jnp.where(live, tbl.astype(jnp.float32), -1.0)
+    gb_idx = jnp.where(gb_mask > 0.5, cap + lin, -1.0)
+    gt_idx = jnp.where(gt_mask > 0.5, cap + gw * C + lin, -1.0)
 
-    # 5. density
-    rho, rhon = run_pass(lambda c: density_pass(c, params), [])
+    ppx = plane_with_halo(cpx, gb_px, gt_px, _SENTINEL)
+    ppy = plane_with_halo(cpy, gb_py, gt_py, _SENTINEL)
+    pidx = plane_with_halo(idx_local, gb_idx, gt_idx, -1.0)
+
+    # 5. density (Pallas)
+    rho_p, rhon_p = run_padded(
+        _density_update, density_scalars(params), [ppx, ppy], 2, interpret
+    )
+    rho = rho_p[:, :gw, :C].reshape(LC, C)
+    rhon = rhon_p[:, :gw, :C].reshape(LC, C)
 
     # 6. halo: ghost densities
-    gb_rho, gt_rho = exchange_halo(*row_slices(rho), axis, D)
-    gb_rhon, gt_rhon = exchange_halo(*row_slices(rhon), axis, D)
-    erho = extend(rho, gb_rho, gt_rho)
-    erhon = extend(rhon, gb_rhon, gt_rhon)
-    nbr_rho = erho[nids].reshape(LC, 9 * C)
-    nbr_rhon = erhon[nids].reshape(LC, 9 * C)
+    gb_rho, gt_rho = halo(rho)
+    gb_rhon, gt_rhon = halo(rhon)
+    prho = plane_with_halo(rho, gb_rho, gt_rho, 0.0)
+    prhon = plane_with_halo(rhon, gb_rhon, gt_rhon, 0.0)
 
-    # 7. pressure
-    f_p = run_pass(
-        lambda c, orho, orhon, nrho, nrhon: pressure_pass(
-            c, orho, orhon, nrho, nrhon, params
-        ),
-        [(rho, 0.0), (rhon, 0.0), (nbr_rho, 0.0), (nbr_rhon, 0.0)],
+    # 7. pressure (Pallas) -> plane-space velocity update
+    fpx, fpy = run_padded(
+        _pressure_update, pressure_scalars(params), [ppx, ppy, pidx, prho, prhon],
+        2, interpret,
     )
-
-    def cells_to_sorted(cell_vals):
-        in_table = (slot < C) & (ks < LC)
-        s = jnp.minimum(slot, C - 1)
-        vals = cell_vals[jnp.minimum(ks, LC - 1), s]
-        return jnp.where(in_table[(...,) + (None,) * (vals.ndim - 1)], vals, 0.0)
-
-    vel_s = vel_s + cells_to_sorted(f_p) * dt
+    vx = cells[..., 2].reshape(R, gw, C) + fpx[:, :gw, :C] * dt
+    vy = cells[..., 3].reshape(R, gw, C) + fpy[:, :gw, :C] * dt
 
     # 8. halo: ghost post-pressure velocities
-    cell_vel = _cells_from_table(table[:LC], vel_s)
-    gb_vel, gt_vel = exchange_halo(*row_slices(cell_vel), axis, D)
-    evel = extend(cell_vel, gb_vel, gt_vel)
-    nbr_vel = evel[nids].reshape(LC, 9 * C, 2)
+    gb_vx, gt_vx = halo(vx.reshape(LC, C))
+    gb_vy, gt_vy = halo(vy.reshape(LC, C))
+    pvx = plane_with_halo(vx.reshape(LC, C), gb_vx, gt_vx, 0.0)
+    pvy = plane_with_halo(vy.reshape(LC, C), gb_vy, gt_vy, 0.0)
 
-    # 9. viscosity
-    f_v = run_pass(
-        lambda c, ovel, nvel: viscosity_pass(c, ovel, nvel, params),
-        [(cell_vel, 0.0), (nbr_vel, 0.0)],
+    # 9. viscosity (Pallas)
+    fvx, fvy = run_padded(
+        _viscosity_update, viscosity_scalars(params), [ppx, ppy, pidx, pvx, pvy],
+        2, interpret,
     )
-    vel_s = vel_s + cells_to_sorted(f_v) * params.viscosity_strength * dt
+    vx = vx + fvx[:, :gw, :C] * params.viscosity_strength * dt
+    vy = vy + fvy[:, :gw, :C] * params.viscosity_strength * dt
+
+    # packed final pull-back per sorted particle
+    vplane = jnp.stack([vx.reshape(LC, C), vy.reshape(LC, C)], axis=-1)
+    s = jnp.minimum(slot, C - 1)
+    pulled = vplane[jnp.minimum(ks, LC - 1), s]
+    in_table = ((slot < C) & (ks < LC))[:, None]
+    vel_s = jnp.where(in_table, pulled, packed[:cap, 2:4])
 
     # 10. unsort, integrate, bounce, colour
     new_vel = vel_s[jnp.argsort(perm)]  # inverse-perm gather, not scatter
@@ -344,15 +313,25 @@ def zero_diags():
 
 
 def make_sharded_step(spec: ShardSpec, mesh: jax.sharding.Mesh, axis: str = "bands",
-                      chunk_cells: int = 128):
-    """Build the jitted multi-chip step: (ShardedState, SimParams) -> (state, diags)."""
+                      chunk_cells: int = 128, interpret: bool | None = None):
+    """Build the jitted multi-chip step: (ShardedState, SimParams) -> (state, diags).
+
+    Force passes run the same Pallas plane kernels as the single-chip step, with halo
+    ghost rows arriving over ppermute.  ``chunk_cells`` is accepted for backward
+    compatibility and unused.  ``interpret`` defaults to interpreter mode off-TPU.
+    """
+    del chunk_cells
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     body = functools.partial(_local_physics, spec=spec, axis=axis,
-                             chunk_cells=chunk_cells)
+                             interpret=interpret)
     smap = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        # pallas_call outputs carry no varying-mesh-axis annotation; skip the check
+        check_vma=False,
     )
 
     def _run(s: ShardedState, params: SimParams):
