@@ -38,10 +38,15 @@ class SPHFluid:
         bounds=(-960.0, 960.0, -540.0, 540.0),
         cell_size: float | None = None,
         capacity: int | None = None,
-        backend: str = "grid",
+        backend: str = "auto",
         render_spec: RenderSpec | None = None,
         capacity_safety: float = 16.0,
     ) -> "SPHFluid":
+        if backend == "auto":
+            # Pallas force kernels on TPU; the pure-JAX grid path elsewhere.
+            import jax
+
+            backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "grid"
         params = make_params(bounds=bounds)
         if cell_size is None:
             # grid cell size = smoothing radius, as the reference ties them (main.rs:88)

@@ -45,10 +45,13 @@ class CellChunk(NamedTuple):
 
 
 def pair_geometry(chunk: CellChunk, h):
-    """Shared pairwise masks/distances for a chunk: [B, C, 9C]."""
+    """Shared pairwise masks/distances for a chunk: [B, C, 9C].
+
+    Double-where'd sqrt keeps the step differentiable (sqrt'(0) = inf otherwise)."""
     delta = chunk.nbr_pos[:, None, :, :] - chunk.own_pos[:, :, None, :]  # x_j - x_i
     sq = jnp.sum(delta * delta, axis=-1)
-    dist = jnp.sqrt(sq)
+    positive = sq > 0
+    dist = jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
     valid = (
         (chunk.own_idx[:, :, None] >= 0)
         & (chunk.nbr_idx[:, None, :] >= 0)

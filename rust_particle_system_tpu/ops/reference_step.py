@@ -39,10 +39,15 @@ _EPS_DIST = 1e-4  # direction-normalisation guard (compute_shader.wgsl:305)
 
 
 def _pairwise(pred):
-    """delta[i, j] = pred[j] - pred[i]; dist with self-distance 0."""
+    """delta[i, j] = pred[j] - pred[i]; dist with self-distance 0.
+
+    The sqrt uses the double-where trick so self-pairs (d = 0) don't poison reverse-mode
+    gradients with sqrt'(0) = inf — the whole step stays differentiable.
+    """
     delta = pred[None, :, :] - pred[:, None, :]  # [n, n, 2], delta[i,j] = x_j - x_i
     sq = jnp.sum(delta * delta, axis=-1)
-    dist = jnp.sqrt(sq)
+    positive = sq > 0
+    dist = jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
     return delta, sq, dist
 
 

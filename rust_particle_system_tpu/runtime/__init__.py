@@ -1,4 +1,4 @@
-from . import checkpoint
+from . import checkpoint, debug, profiling
 from .simulation import Simulation, run_frames, run_frames_loop, run_frames_trajectory
 
 __all__ = [
@@ -7,4 +7,6 @@ __all__ = [
     "run_frames_loop",
     "run_frames_trajectory",
     "checkpoint",
+    "debug",
+    "profiling",
 ]
