@@ -102,7 +102,11 @@ class NBody:
 
     @classmethod
     def create(cls, bounds=(-960.0, 960.0, -540.0, 540.0), render_spec=None,
-               backend="jnp"):
+               backend="auto"):
+        if backend == "auto":
+            import jax
+
+            backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
         return cls(render_spec=render_spec or RenderSpec(max_radius_px=3),
                    bounds=tuple(bounds), backend=backend)
 

@@ -121,37 +121,43 @@ def _density_update(scal, own, nbrs, accs):
 
 def _pressure_update(scal, own, nbrs, accs):
     """compute_shader.wgsl:256-334 — self excluded by idx, ε-guarded direction with
-    (0,1) fallback, and the ρ_j·ρnear_j denominator quirk (:326-327) kept verbatim."""
+    (0,1) fallback, and the ρ_j·ρnear_j denominator quirk (:326-327) kept verbatim.
+
+    Per-slot pressure terms (p/ρ², np/ρ², np/(ρ·ρnear)) arrive PRECOMPUTED (see
+    :func:`pressure_terms`) — they depend on one particle only, so evaluating them
+    per pair would waste ~2 divisions + 6 multiplies on every candidate."""
     h, dn, nn = scal[0], scal[1], scal[2]
-    target, pmult, npmult = scal[3], scal[4], scal[5]
-    (ox, oy, oi, orho, orhon), (nx, ny, ni, nrho, nrhon) = own, nbrs
+    (ox, oy, oi, opt, onpo, _), (nx, ny, ni, npt, _, nnpn) = own, nbrs
 
     dx, dy, dist = _pair_geom(ox, oy, nx, ny)
     valid = (dist < h) & (oi[:, :, None] != ni[:, None, :])
 
     near0 = dist <= _EPS_DIST
     inv_d = jnp.where(near0, 0.0, 1.0 / jnp.where(near0, 1.0, dist))
-    dirx = jnp.where(near0, 0.0, dx * inv_d)
-    diry = jnp.where(near0, 1.0, dy * inv_d)
 
-    rho_i2 = jnp.where(orho > 0, orho * orho, 1.0)
-    own_p_term = (((orho - target) * pmult) / rho_i2)[:, :, None]
-    own_np_term = ((orhon * npmult) / rho_i2)[:, :, None]
-
-    p_nbr = (nrho - target) * pmult
-    np_nbr = nrhon * npmult
-    rho_j = jnp.where(nrho > 0, nrho, 1.0)[:, None, :]
-    rhon_j = jnp.where(nrhon > 0, nrhon, 1.0)[:, None, :]
-
-    pressure_term = own_p_term + p_nbr[:, None, :] / (rho_j * rho_j)
-    near_term = own_np_term + np_nbr[:, None, :] / (rho_j * rhon_j)
+    pressure_term = opt[:, :, None] + npt[:, None, :]
+    near_term = onpo[:, :, None] + nnpn[:, None, :]
 
     v = h - dist
     dw = -2.0 * dn * v
     dwn = -3.0 * nn * v * v
     mag = jnp.where(valid, pressure_term * dw + near_term * dwn, 0.0)
+    # fold the direction normalisation into the magnitude; (0,1) fallback for d≈0
+    m = mag * inv_d
     fx, fy = accs
-    return fx + jnp.sum(dirx * mag, axis=-1), fy + jnp.sum(diry * mag, axis=-1)
+    fx = fx + jnp.sum(dx * m, axis=-1)
+    fy = fy + jnp.sum(dy * m + jnp.where(near0, mag, 0.0), axis=-1)
+    return fx, fy
+
+
+def pressure_terms(rho, rhon, params):
+    """Per-slot pressure terms: (p/ρ², np/ρ², np/(ρ·ρnear)), guarded for empties."""
+    rho_safe = jnp.where(rho > 0, rho, 1.0)
+    rhon_safe = jnp.where(rhon > 0, rhon, 1.0)
+    inv_rho2 = 1.0 / (rho_safe * rho_safe)
+    p = (rho - params.target_density) * params.pressure_multiplier
+    np_ = rhon * params.near_density_multiplier
+    return p * inv_rho2, np_ * inv_rho2, np_ / (rho_safe * rhon_safe)
 
 
 def _viscosity_update(scal, own, nbrs, accs):
@@ -258,8 +264,7 @@ def density_scalars(params):
 def pressure_scalars(params):
     return jnp.stack(
         [params.smoothing_radius, params.density_kernel_norm,
-         params.near_density_kernel_norm, params.target_density,
-         params.pressure_multiplier, params.near_density_multiplier]
+         params.near_density_kernel_norm]
     ).astype(jnp.float32)
 
 
@@ -284,17 +289,15 @@ def density_cells_pallas(px, py, *, spec, params, interpret=None):
 def pressure_cells_pallas(px, py, idx, rho, rhon, *, spec, params, interpret=None):
     """Pressure + near-pressure force planes (fx, fy)."""
     _, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    scal = jnp.stack(
-        [params.smoothing_radius, params.density_kernel_norm,
-         params.near_density_kernel_norm, params.target_density,
-         params.pressure_multiplier, params.near_density_multiplier]
-    ).astype(jnp.float32)
+    scal = pressure_scalars(params)
+    pt, npo, npn = pressure_terms(rho, rhon, params)
     planes = [
         _pad_plane(px, gh, gw, wt, _SENTINEL, cp),
         _pad_plane(py, gh, gw, wt, _SENTINEL, cp),
         _pad_plane(idx, gh, gw, wt, -1.0, cp),
-        _pad_plane(rho, gh, gw, wt, 0.0, cp),
-        _pad_plane(rhon, gh, gw, wt, 0.0, cp),
+        _pad_plane(pt, gh, gw, wt, 0.0, cp),
+        _pad_plane(npo, gh, gw, wt, 0.0, cp),
+        _pad_plane(npn, gh, gw, wt, 0.0, cp),
     ]
     return _run(_pressure_update, scal, planes, 2, spec, interpret)
 

@@ -43,6 +43,7 @@ from ..ops.pallas.sph import (
     density_scalars,
     plane_geometry,
     pressure_scalars,
+    pressure_terms,
     run_padded,
     viscosity_scalars,
 )
@@ -245,15 +246,18 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
     rho = rho_p[:, :gw, :C].reshape(LC, C)
     rhon = rhon_p[:, :gw, :C].reshape(LC, C)
 
-    # 6. halo: ghost densities
-    gb_rho, gt_rho = halo(rho)
-    gb_rhon, gt_rhon = halo(rhon)
-    prho = plane_with_halo(rho, gb_rho, gt_rho, 0.0)
-    prhon = plane_with_halo(rhon, gb_rhon, gt_rhon, 0.0)
+    # 6. per-slot pressure terms, then halo the ones consumed on the neighbor side
+    pt, npo, npn = pressure_terms(rho, rhon, params)
+    gb_pt, gt_pt = halo(pt)
+    gb_npn, gt_npn = halo(npn)
+    zrow = jnp.zeros((gw, C), jnp.float32)
+    ppt = plane_with_halo(pt, gb_pt, gt_pt, 0.0)
+    pnpo = plane_with_halo(npo, zrow, zrow, 0.0)  # own-side only; ghosts unused
+    pnpn = plane_with_halo(npn, gb_npn, gt_npn, 0.0)
 
     # 7. pressure (Pallas) -> plane-space velocity update
     fpx, fpy = run_padded(
-        _pressure_update, pressure_scalars(params), [ppx, ppy, pidx, prho, prhon],
+        _pressure_update, pressure_scalars(params), [ppx, ppy, pidx, ppt, pnpo, pnpn],
         2, interpret,
     )
     vx = cells[..., 2].reshape(R, gw, C) + fpx[:, :gw, :C] * dt
