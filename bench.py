@@ -75,6 +75,24 @@ def main() -> None:
     flow_elapsed, fstate = _time_loop(flow, fstate, FRAMES)
     flow_rate = FRAMES * N / flow_elapsed
 
+    # Secondary: fused step + render p50 frame time (the BASELINE.json p50 metric).
+    from rust_particle_system_tpu.ops.pallas.sph_step import sph_frame_pallas
+
+    fused = jax.jit(
+        lambda s: sph_frame_pallas(s, params, spec, RenderSpec(), bounds_static=BOUNDS),
+        donate_argnums=0,
+    )
+    fstate2 = uniform_init(jax.random.key(2), N, BOUNDS)
+    fstate2, img = fused(fstate2)
+    jax.block_until_ready(img)
+    frame_times = []
+    for _ in range(11):
+        t0 = time.perf_counter()
+        fstate2, img = fused(fstate2)
+        jax.block_until_ready(img)
+        frame_times.append(time.perf_counter() - t0)
+    p50_frame_ms = sorted(frame_times)[len(frame_times) // 2] * 1e3
+
     # Secondary: 1080p Pallas point-splat render of 1M sprites.
     rspec = RenderSpec(width=1920, height=1080, max_radius_px=4)
     pos, color = fstate.pos, fstate.color
@@ -100,6 +118,7 @@ def main() -> None:
                 "n_particles": N,
                 "frames": FRAMES,
                 "sph_ms_per_frame": round(sph_elapsed / FRAMES * 1e3, 2),
+                "p50_fused_frame_ms": round(p50_frame_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
                 "backend": "pallas_sph_aspect2",
