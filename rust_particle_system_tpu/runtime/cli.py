@@ -26,9 +26,9 @@ from .simulation import Simulation
 
 def build_model(name: str, n: int, backend: str | None = None):
     if name == "sph":
-        return MODEL_FAMILIES["sph"].create(n=n, backend=backend or "grid")
+        return MODEL_FAMILIES["sph"].create(n=n, backend=backend or "auto")
     if name == "nbody":
-        return MODEL_FAMILIES["nbody"].create(backend=backend or "jnp")
+        return MODEL_FAMILIES["nbody"].create(backend=backend or "auto")
     return MODEL_FAMILIES[name].create()
 
 
@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="TPU particle simulation runner")
     ap.add_argument("--model", choices=sorted(MODEL_FAMILIES), default="sph")
     ap.add_argument("--backend", default=None,
-                    help="sph: grid|oracle; nbody: jnp|pallas")
+                    help="sph: auto|pallas|grid|oracle; nbody: auto|pallas|jnp")
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--chunk", type=int, default=50,
