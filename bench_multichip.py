@@ -1,0 +1,123 @@
+"""Multi-chip benchmark / demo — BASELINE.json config 5.
+
+On a real v5e-8 slice (8 chips, bands over ICI):
+
+    python bench_multichip.py --n 16000000 --bands 8 --frames 20
+
+Without a pod, exercise the identical program on a virtual CPU mesh:
+
+    python bench_multichip.py --cpu-mesh --n 8000 --bands 8 --frames 3
+
+The domain scales with sqrt(n/1M) so fluid density (and per-cell occupancy) stays at
+the 1M-particle design point — the reference's "fluid fills the screen" regime — which
+keeps the Pallas capacity bound satisfied at any n.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16_000_000)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--cpu-mesh", action="store_true",
+                    help="force a virtual CPU mesh (testing without a pod)")
+    ap.add_argument("--render", default=None, help="write final distributed frame PNG")
+    args = ap.parse_args()
+
+    if args.cpu_mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.bands}"
+            ).strip()
+
+    import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import rust_particle_system_tpu as rps
+    from rust_particle_system_tpu.core.state import make_state
+    from rust_particle_system_tpu.parallel import (
+        make_band_mesh,
+        make_shard_spec,
+        make_sharded_render,
+        make_sharded_step,
+        shard_state,
+    )
+    from rust_particle_system_tpu.render import RenderSpec
+
+    # constant-density domain scaling around the 1M design point
+    scale = math.sqrt(args.n / 1_000_000)
+    bounds = (-960.0 * scale, 960.0 * scale, -540.0 * scale, 540.0 * scale)
+    params = rps.make_params(bounds=bounds, gravity=300.0, shader_delay=0)
+    sspec = make_shard_spec(bounds, cell_size=9.0, n=args.n, n_bands=args.bands,
+                            capacity=128, slack=2.0)
+    mesh = make_band_mesh(args.bands)
+    step = make_sharded_step(sspec, mesh)
+
+    kx, ky = jax.random.split(jax.random.key(0))
+    pos = jnp.stack(
+        [jax.random.uniform(kx, (args.n,), minval=bounds[0], maxval=bounds[1]),
+         jax.random.uniform(ky, (args.n,), minval=bounds[2], maxval=bounds[3])],
+        axis=-1,
+    )
+    sstate, dropped = shard_state(make_state(pos), sspec)
+    assert dropped == 0, f"slot capacity too small: {dropped} dropped"
+
+    # two warm calls: the second compile absorbs the shard_map output sharding
+    for _ in range(2):
+        sstate, diags = step(sstate, params)
+        jax.block_until_ready(sstate.pos)
+
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        sstate, diags = step(sstate, params)
+        if args.cpu_mesh:
+            jax.block_until_ready(sstate.pos)  # CPU-mesh collectives need pacing
+    jax.block_until_ready(sstate.pos)
+    elapsed = time.perf_counter() - t0
+
+    out = {
+        "metric": "sharded_particle_steps_per_sec",
+        "value": args.frames * args.n / elapsed,
+        "unit": "steps/s",
+        "n_particles": args.n,
+        "bands": args.bands,
+        "frames": args.frames,
+        "ms_per_frame": round(elapsed / args.frames * 1e3, 2),
+        "live_particles": int(diags["live_particles"]),
+        "migration_dropped": int(diags["migration_send_dropped"])
+        + int(diags["migration_recv_dropped"]),
+        "band_violations": int(diags["band_violations"]),
+        "grid_overflow": int(diags["grid_overflow"]),
+        "device0": str(jax.devices()[0]),
+    }
+
+    if args.render:
+        render = make_sharded_render(
+            sspec, mesh, RenderSpec(width=1920, height=1080, max_radius_px=4)
+        )
+        img = render(sstate, params)
+        from rust_particle_system_tpu.render import to_srgb_u8
+        from rust_particle_system_tpu.utils.png import write_png
+
+        write_png(args.render, np.asarray(to_srgb_u8(img)))
+        out["render"] = args.render
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
