@@ -107,7 +107,7 @@ def main() -> None:
 
     if args.render:
         render = make_sharded_render(
-            sspec, mesh, RenderSpec(width=1920, height=1080, max_radius_px=4)
+            mesh, RenderSpec(width=1920, height=1080, max_radius_px=4)
         )
         img = render(sstate, params)
         from rust_particle_system_tpu.render import to_srgb_u8

@@ -22,7 +22,7 @@ SCHEDULE = [
     (0, dict(gravity=0.0, shader_delay=0)),
     (60, dict(gravity=600.0)),  # user drags gravity up
     (120, dict(viscosity_strength=9.0)),  # more viscous
-    (180, dict(smoothing_radius=12.0)),  # bigger radius (norms recomputed)
+    (180, dict(smoothing_radius=6.0)),  # smaller radius (norms recomputed; raising above the 9.0 cell size would need a grid rebuild)
     (240, dict(gravity=100.0, damping_factor=0.8)),  # bouncy
 ]
 

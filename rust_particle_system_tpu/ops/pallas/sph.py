@@ -262,10 +262,8 @@ def density_scalars(params):
 
 
 def pressure_scalars(params):
-    return jnp.stack(
-        [params.smoothing_radius, params.density_kernel_norm,
-         params.near_density_kernel_norm]
-    ).astype(jnp.float32)
+    # the optimized pressure kernel consumes the same (h, dn, nn) triple
+    return density_scalars(params)
 
 
 def viscosity_scalars(params):
@@ -277,10 +275,7 @@ def viscosity_scalars(params):
 def density_cells_pallas(px, py, *, spec, params, interpret=None):
     """[gh, gw, C] position planes -> (rho, rhon) [gh, gw, C]."""
     _, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    scal = jnp.stack(
-        [params.smoothing_radius, params.density_kernel_norm,
-         params.near_density_kernel_norm]
-    ).astype(jnp.float32)
+    scal = density_scalars(params)
     planes = [_pad_plane(px, gh, gw, wt, _SENTINEL, cp),
               _pad_plane(py, gh, gw, wt, _SENTINEL, cp)]
     return _run(_density_update, scal, planes, 2, spec, interpret)
@@ -305,9 +300,7 @@ def pressure_cells_pallas(px, py, idx, rho, rhon, *, spec, params, interpret=Non
 def viscosity_cells_pallas(px, py, idx, vx, vy, *, spec, params, interpret=None):
     """Viscosity force planes (fx, fy) using current velocity planes."""
     _, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    scal = jnp.stack(
-        [params.smoothing_radius, params.viscosity_kernel_norm]
-    ).astype(jnp.float32)
+    scal = viscosity_scalars(params)
     planes = [
         _pad_plane(px, gh, gw, wt, _SENTINEL, cp),
         _pad_plane(py, gh, gw, wt, _SENTINEL, cp),

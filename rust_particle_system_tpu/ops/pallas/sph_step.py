@@ -124,6 +124,28 @@ def sph_step_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     return stepped._replace(frame=state.frame + 1)
 
 
+def state_planes(state: ParticleState, spec: GridSpec):
+    """Cell planes of a state as-is (no physics) — the warm-up render path."""
+    gh, gw, C = spec.gh, spec.gw, spec.capacity
+    nc = spec.num_cells
+    grid = build_grid(spec, state.pos)
+    n = state.pos.shape[0]
+    packed = jnp.concatenate([state.pos, state.vel], axis=-1)
+    fills = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], jnp.float32)
+    packed = jnp.concatenate([packed[grid.perm], fills[None, :]], axis=0)
+    table = grid.table[:nc]
+    live = table >= 0
+    cells = packed[jnp.where(live, table, n)]
+    live3 = live.reshape(gh, gw, C)
+    return {
+        "px": jnp.where(live3, cells[..., 0].reshape(gh, gw, C), jnp.float32(1e6)),
+        "py": jnp.where(live3, cells[..., 1].reshape(gh, gw, C), jnp.float32(1e6)),
+        "vx": cells[..., 2].reshape(gh, gw, C),
+        "vy": cells[..., 3].reshape(gh, gw, C),
+        "live": live3,
+    }
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "render_spec", "bounds_static", "interpret")
 )
@@ -133,13 +155,29 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     """Fused step + render: one frame of physics AND its image, sharing the binning.
 
     Returns (new_state, image).  The image is drawn from the frame's cell planes with
-    zero extra binning work (see render/splat_planes.py).  No warm-up gating — callers
-    wanting the reference's 5-frame delay should use sph_step_pallas for those frames.
+    zero extra binning work (see render/splat_planes.py).  Warm-up frames
+    (frame < shader_delay) leave state frozen and render it as-is, matching
+    sph_step_pallas + a separate render.
+
+    Note a fused-render limitation: a particle is drawn inside the patch of the cell it
+    was binned in (by predicted position), so its sprite clips if the within-frame
+    displacement exceeds MARGIN − radius_px (4px − radius at defaults); overflow
+    particles beyond cell capacity are absent from the fused image.  Use the standalone
+    rasterizer when per-frame displacements can be large.
     """
     from ...render.splat_planes import splat_from_planes
 
-    new_state, _overflow, planes = sph_physics_pallas(
-        state, params, spec, interpret, want_planes=True
+    def live_frame(s):
+        new_state, _overflow, planes = sph_physics_pallas(
+            s, params, spec, interpret, want_planes=True
+        )
+        return new_state, planes
+
+    def frozen_frame(s):
+        return s, state_planes(s, spec)
+
+    new_state, planes = jax.lax.cond(
+        state.frame >= params.shader_delay, live_frame, frozen_frame, state
     )
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],

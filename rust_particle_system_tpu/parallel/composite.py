@@ -16,11 +16,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..render.splat_jax import RenderSpec, splat_accumulate, splat_resolve
-from .shard import ShardedState, ShardSpec
+from .shard import ShardedState
 
 
-def make_sharded_render(spec: ShardSpec, mesh: jax.sharding.Mesh,
-                        render_spec: RenderSpec, axis: str = "bands"):
+def make_sharded_render(mesh: jax.sharding.Mesh, render_spec: RenderSpec,
+                        axis: str = "bands"):
     """Build the jitted distributed renderer: (ShardedState, params) -> [H, W, 4]."""
 
     def _local(pos, color, valid, particle_size, bounds):

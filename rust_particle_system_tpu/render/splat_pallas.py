@@ -107,11 +107,17 @@ def _assemble(patches, ghc, gwc, height, width):
     return img[M : M + height, M : M + width]
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "interpret", "capacity"))
+@functools.partial(
+    jax.jit, static_argnames=("spec", "interpret", "capacity", "return_overflow")
+)
 def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
                  background=(0.0, 0.0, 0.0, 1.0), capacity: int = 64,
-                 interpret: bool | None = None):
-    """Drop-in for ``splat_jax.splat`` (same signature + blend), Pallas-accelerated."""
+                 interpret: bool | None = None, return_overflow: bool = False):
+    """Drop-in for ``splat_jax.splat`` (same signature + blend), Pallas-accelerated.
+
+    Sprites beyond ``capacity`` per 8x8px render cell are dropped from the image; pass
+    ``return_overflow=True`` to get ``(image, dropped_count)`` and monitor it (dense
+    states — e.g. fluid compacted against a wall — can exceed the default 64)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     assert spec.max_radius_px <= MARGIN, (
@@ -186,4 +192,7 @@ def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
         axis=-1,
     )
     a_acc = _assemble(pa[:nc], ghc, gwc, spec.height, spec.width)
-    return splat_resolve(rgb_acc, a_acc, background)
+    image = splat_resolve(rgb_acc, a_acc, background)
+    if return_overflow:
+        return image, grid.overflow
+    return image

@@ -37,7 +37,8 @@ def validate_grid(grid: Grid, spec: GridSpec, n: int) -> dict:
     live = table >= 0
     counts = live.sum(axis=1)[:-1]
     overflow = int(np.asarray(grid.overflow))
-    assert live[:, 1:].sum() <= live[:, :-1].sum(), "slots not packed front-first"
+    # front-packed: within every row, no live slot may follow an empty one
+    assert np.all(live[:, 1:] <= live[:, :-1]), "slots not packed front-first"
     return {
         "cells_used": int((counts > 0).sum()),
         "max_occupancy": int(counts.max()) if counts.size else 0,

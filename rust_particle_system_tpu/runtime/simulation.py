@@ -56,14 +56,22 @@ def _loop_step(step_fn):
     jax.jit, static_argnames=("step_fn", "num_frames", "save_every"), donate_argnums=1
 )
 def run_frames_trajectory(step_fn, state, params, num_frames: int, save_every: int = 1):
-    """Like run_frames but stacks every ``save_every``-th state (positions only)."""
+    """Like run_frames but stacks every ``save_every``-th frame's positions.
 
-    def body(carry, _):
-        new = step_fn(carry, params)
+    Scans over chunks of ``save_every`` frames so only num_frames/save_every
+    snapshots ever materialize (stacking every frame then slicing would allocate
+    save_every-times more memory than requested)."""
+    assert num_frames % save_every == 0, "num_frames must divide by save_every"
+
+    def chunk(carry, _):
+        def body(c, _):
+            return step_fn(c, params), None
+
+        new, _ = jax.lax.scan(body, carry, None, length=save_every)
         return new, new.pos
 
-    state, traj = jax.lax.scan(body, state, None, length=num_frames)
-    return state, traj[::save_every]
+    state, traj = jax.lax.scan(chunk, state, None, length=num_frames // save_every)
+    return state, traj
 
 
 class Simulation:
@@ -87,6 +95,16 @@ class Simulation:
         if "smoothing_radius" in kwargs and hasattr(self.params, "density_kernel_norm"):
             from ..core.params import with_smoothing_radius
 
+            radius = float(kwargs["smoothing_radius"])
+            grid = getattr(self.model, "grid", None)
+            if grid is not None and radius > min(grid.cell_size, grid.cell_width):
+                # The 3x3 neighborhood only sees one cell in every direction: a radius
+                # above the cell size would silently miss interactions (ops/grid.py).
+                raise ValueError(
+                    f"smoothing_radius {radius} exceeds the grid cell size "
+                    f"{min(grid.cell_size, grid.cell_width)}; rebuild the model with a "
+                    f"larger cell_size to raise the radius (lowering it is free)"
+                )
             self.params = with_smoothing_radius(
                 self.params, kwargs.pop("smoothing_radius")
             )

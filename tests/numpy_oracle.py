@@ -87,9 +87,8 @@ def step(pos, vel, p: Params, frame: int):
     n = len(pos)
 
     if frame < p.shader_delay:
-        color = np.zeros((n, 4))
-        color[:] = np.nan  # caller shouldn't use color in the identity branch
-        return pos, vel, None
+        color = np.full((n, 4), np.nan)  # NaN sentinel: color unspecified in warm-up
+        return pos, vel, color
 
     # gravity + predicted positions
     vel = vel + np.array([0.0, -p.gravity]) * p.dt

@@ -66,3 +66,30 @@ def test_fused_frame_anisotropic_cells(rng):
               jnp.asarray(BOUNDS, jnp.float32), RSPEC)
     )
     np.testing.assert_allclose(np.asarray(img), want, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_frame_warmup_freezes_state_and_renders(rng):
+    n = 64
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=400.0, shader_delay=3)
+    spec = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=32)
+    s = make_state(pos, vel)
+    for _ in range(3):
+        s, img = sph_frame_pallas(s, params, spec, RSPEC, bounds_static=BOUNDS)
+    np.testing.assert_array_equal(np.asarray(s.pos), pos)
+    assert int(s.frame) == 3
+    # the warm-up image shows the frozen (white) particles
+    assert np.asarray(img)[..., :3].max() > 0.1
+
+
+def test_update_params_rejects_radius_above_cell_size():
+    import pytest
+
+    from rust_particle_system_tpu.models import SPHFluid
+    from rust_particle_system_tpu.runtime import Simulation
+
+    model = SPHFluid.create(n=64, bounds=BOUNDS, capacity=16, backend="grid")
+    sim = Simulation(model, n=64)
+    with pytest.raises(ValueError, match="exceeds the grid cell size"):
+        sim.update_params(smoothing_radius=12.0)
+    sim.update_params(smoothing_radius=6.0)  # lowering is free

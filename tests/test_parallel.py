@@ -157,7 +157,7 @@ def test_sharded_render_matches_single_device(rng):
                             slack=6.0)
     mesh = make_band_mesh(n_bands)
     rspec = RenderSpec(width=200, height=100, max_radius_px=4)
-    render = make_sharded_render(sspec, mesh, rspec)
+    render = make_sharded_render(mesh, rspec)
 
     sstate, _ = shard_state(state, sspec)
     img_sharded = np.asarray(render(sstate, params))
