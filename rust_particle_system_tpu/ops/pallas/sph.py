@@ -97,6 +97,8 @@ def _make_row_kernel(pair_update, n_channels: int, n_out: int, tc: int, wt: int)
                 o[0, pl.ds(c0, tc), :] = acc
             return 0
 
+        # fori_loop beats static unrolling here (measured: unroll was ~8% slower
+        # end-to-end and compiled far slower)
         jax.lax.fori_loop(0, wt // tc, tile_body, 0)
 
     return kernel
@@ -213,6 +215,8 @@ def _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret):
         in_specs=in_specs,
         out_specs=tuple([out_spec] * n_out),
         out_shape=tuple([jax.ShapeDtypeStruct((gh, wt, cp), jnp.float32)] * n_out),
+        # rows are independent: lets Mosaic pipeline the row-slab fetches freely
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     ), args
 
