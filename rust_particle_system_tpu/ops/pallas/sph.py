@@ -64,12 +64,26 @@ def _pair_geom(ox, oy, nx, ny):
     return dx, dy, dist
 
 
-def _make_row_kernel(pair_update, n_channels: int, n_out: int, tc: int, wt: int):
-    """Build a kernel: one grid row per program.
+def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
+    """Largest divisor of wt that is a multiple of tc and <= limit.
 
-    Inputs arrive as ``n_channels * 3`` row slabs ``[1, wt+2, CP]`` (each channel's
-    rows r-1, r, r+1).  ``pair_update(own, nbrs, accs) -> accs`` folds one
-    (tile, offset) pairwise block into the accumulators:
+    Bounds kernel VMEM at any grid width: each program sees one (row, segment) slab of
+    seg+2 cells instead of the whole wt+2-cell row (a 16M-particle grid is ~430 cells
+    wide — whole-row slabs blew the 16 MB VMEM budget)."""
+    best = tc
+    for seg in range(tc, limit + 1, tc):
+        if wt % seg == 0:
+            best = seg
+    return best
+
+
+def _make_seg_kernel(pair_update, n_channels: int, n_out: int, tc: int, seg: int):
+    """Build a kernel: one (grid row, column segment) per program.
+
+    Inputs arrive as ``n_channels * 3`` slabs ``[1, 1, seg+2, CP]`` (each channel's
+    rows r-1, r, r+1 of the program's segment, halo columns included).
+    ``pair_update(own, nbrs, accs) -> accs`` folds one (tile, offset) pairwise block
+    into the accumulators:
 
     * ``own``:  per-channel own-cell values, each [TC, CP]
     * ``nbrs``: per-channel neighbor values for this offset, each [TC, CP]
@@ -82,24 +96,25 @@ def _make_row_kernel(pair_update, n_channels: int, n_out: int, tc: int, wt: int)
         def tile_body(t, _):
             c0 = t * tc
             own = tuple(
-                ins[ch * 3 + 1][0, pl.ds(c0 + 1, tc), :] for ch in range(n_channels)
+                ins[ch * 3 + 1][0, 0, pl.ds(c0 + 1, tc), :]
+                for ch in range(n_channels)
             )
             accs = tuple(
                 jnp.zeros((tc, own[0].shape[-1]), jnp.float32) for _ in range(n_out)
             )
             for dy, dx in _offsets():
                 nbrs = tuple(
-                    ins[ch * 3 + dy][0, pl.ds(c0 + dx, tc), :]
+                    ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
                     for ch in range(n_channels)
                 )
                 accs = pair_update(scal_ref, own, nbrs, accs)
             for o, acc in zip(outs, accs):
-                o[0, pl.ds(c0, tc), :] = acc
+                o[0, 0, pl.ds(c0, tc), :] = acc
             return 0
 
         # fori_loop beats static unrolling here (measured: unroll was ~8% slower
         # end-to-end and compiled far slower)
-        jax.lax.fori_loop(0, wt // tc, tile_body, 0)
+        jax.lax.fori_loop(0, seg // tc, tile_body, 0)
 
     return kernel
 
@@ -197,28 +212,53 @@ def _pad_plane(x, gh, gw, wt, fill, cp):
 
 
 def _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret):
-    """Shared pallas_call: each plane enters 3x with row-shifted index maps."""
-    kernel = _make_row_kernel(update, len(planes), n_out, tc, wt)
-    row_block = lambda dy: pl.BlockSpec(
-        (1, wt + 2, cp), lambda r, dy=dy: (r + dy, 0, 0)
+    """Shared pallas_call over width-segmented planes.
+
+    Each padded plane [gh+2, wt+2, CP] is re-laid out as [gh+2, nseg, seg+2, CP]
+    (halo columns duplicated between segments), then enters the kernel 3x with
+    row-shifted index maps — every block is non-overlapping within its input, VMEM
+    stays bounded at any width, and Pallas double-buffers the slab fetches.
+    """
+    seg = _seg_width(wt, tc)
+    nseg = wt // seg
+    kernel = _make_seg_kernel(update, len(planes), n_out, tc, seg)
+
+    def segmented(p):
+        return jnp.stack(
+            [p[:, s * seg : s * seg + seg + 2] for s in range(nseg)], axis=1
+        )
+
+    slab = lambda dy: pl.BlockSpec(
+        (1, 1, seg + 2, cp), lambda r, s, dy=dy: (r + dy, s, 0, 0)
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     args = [None]
     for p in planes:
+        sp = segmented(p)
         for dy in range(3):
-            in_specs.append(row_block(dy))
-            args.append(p)
-    out_spec = pl.BlockSpec((1, wt, cp), lambda r: (r, 0, 0))
-    return pl.pallas_call(
+            in_specs.append(slab(dy))
+            args.append(sp)
+    out_spec = pl.BlockSpec((1, 1, seg, cp), lambda r, s: (r, s, 0, 0))
+    call = pl.pallas_call(
         kernel,
-        grid=(gh,),
+        grid=(gh, nseg),
         in_specs=in_specs,
         out_specs=tuple([out_spec] * n_out),
-        out_shape=tuple([jax.ShapeDtypeStruct((gh, wt, cp), jnp.float32)] * n_out),
-        # rows are independent: lets Mosaic pipeline the row-slab fetches freely
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((gh, nseg, seg, cp), jnp.float32)] * n_out
+        ),
+        # rows/segments are independent: lets Mosaic pipeline slab fetches freely
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=interpret,
-    ), args
+    )
+
+    def run(*a):
+        outs = call(*a)
+        return tuple(o.reshape(gh, wt, cp) for o in outs)
+
+    return run, args
 
 
 def _run(update, scal, planes, n_out, spec, interpret):
