@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default=None, help="load checkpoint .npz first")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="override a param field (repeatable), e.g. gravity=500")
+    ap.add_argument("--stats", action="store_true",
+                    help="validate invariants and print state statistics at the end")
     args = ap.parse_args(argv)
 
     model = build_model(args.model, args.n, args.backend)
@@ -76,6 +78,9 @@ def main(argv=None) -> int:
         f"{args.model}: {args.frames} frames x {args.n} particles in {elapsed:.2f}s "
         f"({rate:,.0f} particle-steps/s, incl. compile)"
     )
+
+    if args.stats:
+        print(sim.stats())
 
     if args.save:
         checkpoint.save(args.save, sim.state, sim.params)

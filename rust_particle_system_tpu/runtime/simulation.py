@@ -126,3 +126,12 @@ class Simulation:
 
     def render(self):
         return self.model.render(self.state, self.params)
+
+    def stats(self) -> dict:
+        """Validate the current state and return summary statistics.
+
+        Raises on violated invariants (non-finite values, out-of-bounds positions) —
+        the always-on version of the reference's disabled debug readbacks."""
+        from .debug import validate_state
+
+        return validate_state(self.state, self.params)

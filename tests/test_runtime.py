@@ -111,3 +111,14 @@ def test_cli_end_to_end(tmp_path):
         ["--model", "attractor", "--n", "64", "--frames", "2", "--resume", out_ckpt]
     )
     assert rc == 0
+
+
+def test_simulation_stats_and_cli_stats(tmp_path, capsys):
+    model = Attractor.create()
+    sim = Simulation(model, n=32)
+    sim.run(2)
+    stats = sim.stats()
+    assert stats["n"] == 32 and stats["frame"] == 2
+    rc = cli_main(["--model", "attractor", "--n", "16", "--frames", "2", "--stats"])
+    assert rc == 0
+    assert "speed_mean" in capsys.readouterr().out
