@@ -102,66 +102,64 @@ int sph_step(const SphParams* p, int64_t n, float* pos, float* vel, float* color
     }
   };
 
-  // 3. density (self included: compute_shader.wgsl:207-254)
+  // 3. density (self included: compute_shader.wgsl:207-254).
+  // Double-precision accumulation: this engine is a test ORACLE, so it carries more
+  // precision than the f32 device paths it validates (near-cancelling pressure sums
+  // are tolerance-fragile in f32 when neighbour iteration order differs).
   std::vector<float> rho(n, 0.0f), rhon(n, 0.0f);
   for (int64_t i = 0; i < n; ++i) {
-    float r = 0.0f, rn = 0.0f;
+    double r = 0.0, rn = 0.0;
     for_neighbors(i, [&](int64_t, float, float, float d) {
       if (d < h) {
-        float v = h - d;
-        r += p->density_norm * v * v;
-        rn += p->near_density_norm * v * v * v;
+        double v = (double)h - (double)d;
+        r += (double)p->density_norm * v * v;
+        rn += (double)p->near_density_norm * v * v * v;
       }
     });
-    rho[i] = r;
-    rhon[i] = rn;
+    rho[i] = (float)r;
+    rhon[i] = (float)rn;
   }
 
-  // 4. pressure force (self excluded; reference's ρ_j·ρnear_j quirk kept)
+  // 4. forces in one barrier (spec v2, see ops/reference_step.py): pressure force
+  // (self excluded; reference's ρ_j·ρnear_j quirk kept) + viscosity over the
+  // PRE-pressure (post-gravity) velocities.
   std::vector<float> new_vel(vel, vel + 2 * n);
   for (int64_t i = 0; i < n; ++i) {
-    float fx = 0.0f, fy = 0.0f;
-    const float pi_ = (rho[i] - p->target_density) * p->pressure_multiplier;
-    const float npi = rhon[i] * p->near_density_multiplier;
-    const float inv_rho_i2 = 1.0f / (rho[i] * rho[i]);
+    double fx = 0.0, fy = 0.0;
+    const double pi_ = ((double)rho[i] - p->target_density) * p->pressure_multiplier;
+    const double npi = (double)rhon[i] * p->near_density_multiplier;
+    const double inv_rho_i2 = 1.0 / ((double)rho[i] * rho[i]);
+    double vfx = 0.0, vfy = 0.0;
     for_neighbors(i, [&](int64_t j, float ddx, float ddy, float d) {
       if (j == i || d >= h) return;
-      float dirx, diry;
+      double dirx, diry;
       if (d > 1e-4f) {
-        dirx = ddx / d;
-        diry = ddy / d;
+        dirx = (double)ddx / d;
+        diry = (double)ddy / d;
       } else {
-        dirx = 0.0f;
-        diry = 1.0f;
+        dirx = 0.0;
+        diry = 1.0;
       }
-      float pj = (rho[j] - p->target_density) * p->pressure_multiplier;
-      float npj = rhon[j] * p->near_density_multiplier;
-      float pressure_term = pi_ * inv_rho_i2 + pj / (rho[j] * rho[j]);
-      float near_term = npi * inv_rho_i2 + npj / (rho[j] * rhon[j]);
-      float v = h - d;
-      float dw = -2.0f * p->density_norm * v;
-      float dwn = -3.0f * p->near_density_norm * v * v;
-      float mag = pressure_term * dw + near_term * dwn;
+      double pj = ((double)rho[j] - p->target_density) * p->pressure_multiplier;
+      double npj = (double)rhon[j] * p->near_density_multiplier;
+      double pressure_term = pi_ * inv_rho_i2 + pj / ((double)rho[j] * rho[j]);
+      double near_term = npi * inv_rho_i2 + npj / ((double)rho[j] * rhon[j]);
+      double v = (double)h - d;
+      double dw = -2.0 * p->density_norm * v;
+      double dwn = -3.0 * p->near_density_norm * v * v;
+      double mag = pressure_term * dw + near_term * dwn;
       fx += dirx * mag;
       fy += diry * mag;
-    });
-    new_vel[2 * i] = vel[2 * i] + fx * dt;
-    new_vel[2 * i + 1] = vel[2 * i + 1] + fy * dt;
-  }
-  std::memcpy(vel, new_vel.data(), sizeof(float) * 2 * n);
 
-  // 5. viscosity with post-pressure velocities (bulk-sync spec)
-  for (int64_t i = 0; i < n; ++i) {
-    float fx = 0.0f, fy = 0.0f;
-    for_neighbors(i, [&](int64_t j, float, float, float d) {
-      if (j == i || d >= h) return;
-      float u = h * h - d * d;
-      float w = p->viscosity_norm * u * u * u;
-      fx += (vel[2 * j] - vel[2 * i]) * w;
-      fy += (vel[2 * j + 1] - vel[2 * i + 1]) * w;
+      double u = (double)h * h - (double)d * d;
+      double w = (double)p->viscosity_norm * u * u * u;
+      vfx += ((double)vel[2 * j] - vel[2 * i]) * w;
+      vfy += ((double)vel[2 * j + 1] - vel[2 * i + 1]) * w;
     });
-    new_vel[2 * i] = vel[2 * i] + fx * p->viscosity_strength * dt;
-    new_vel[2 * i + 1] = vel[2 * i + 1] + fy * p->viscosity_strength * dt;
+    new_vel[2 * i] =
+        (float)(vel[2 * i] + fx * dt + vfx * p->viscosity_strength * dt);
+    new_vel[2 * i + 1] =
+        (float)(vel[2 * i + 1] + fy * dt + vfy * p->viscosity_strength * dt);
   }
   std::memcpy(vel, new_vel.data(), sizeof(float) * 2 * n);
 

@@ -142,15 +142,26 @@ def build_grid(spec: GridSpec, pos) -> Grid:
     """
     n = pos.shape[0]
     keys = spec.cell_keys(pos)
-    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
-    sorted_keys = keys[perm]
+    # One stable sort yields BOTH the sorted keys and the permutation (argsort +
+    # keys[perm] would pay an extra 1M-row gather — measured ~8 ms at 1M).
+    sorted_keys, perm = jax.lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
 
     # +2: row num_cells is the always-empty padding row (start == end == n there).
     cell_ids = jnp.arange(spec.num_cells + 2, dtype=jnp.int32)
     starts_full = jnp.searchsorted(sorted_keys, cell_ids, side="left").astype(jnp.int32)
     starts = starts_full[: spec.num_cells + 1]
 
-    slot = (jnp.arange(n, dtype=jnp.int32) - starts[sorted_keys]).astype(jnp.int32)
+    # Slot within the cell run, via a run-start cummax over the sorted keys — no
+    # [n]-row gather of ``starts`` (gathers cost ~8 ns/row on TPU; a scan is ~20
+    # cheap elementwise passes).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    slot = iota - run_start
     counts = starts_full[1:] - starts_full[:-1]  # [num_cells + 1]
     overflow = jnp.sum(jnp.maximum(counts - spec.capacity, 0)).astype(jnp.int32)
 

@@ -173,7 +173,7 @@ def grid_physics(state: ParticleState, params: SimParams, spec: GridSpec,
     nbr_rho = rho_pad[nids].reshape(nc, 9 * C)
     nbr_rhon = rhon_pad[nids].reshape(nc, 9 * C)
 
-    # Pass 2: pressure force -> velocity update (global barrier).
+    # Pass 2: pressure force (and the viscosity inputs share the same chunking).
     f_p = run_pass(
         lambda c, orho, orhon, nrho, nrhon: pressure_pass(
             c, orho, orhon, nrho, nrhon, params
@@ -188,16 +188,16 @@ def grid_physics(state: ParticleState, params: SimParams, spec: GridSpec,
         vals = cell_vals[grid.sorted_keys, slot]
         return jnp.where(in_table[(...,) + (None,) * (vals.ndim - 1)], vals, fill)
 
-    vel_s = vel_s + cells_to_sorted(f_p) * dt
-
-    # Pass 3: viscosity with post-pressure velocities (bulk-sync spec).
+    # Pass 3: viscosity over PRE-pressure velocities (spec v2 — one barrier applies
+    # pressure + viscosity together; see ops/reference_step.py docstring).
     cvel = gather_to_cells(grid, spec, vel_s)
     nbr_vel = cvel[nids].reshape(nc, 9 * C, 2)
     f_v = run_pass(
         lambda c, ovel, nvel: viscosity_pass(c, ovel, nvel, params),
         [(cvel[:nc], 0.0), (nbr_vel, 0.0)],
     )
-    vel_s = vel_s + cells_to_sorted(f_v) * params.viscosity_strength * dt
+    vel_s = (vel_s + cells_to_sorted(f_p) * dt
+             + cells_to_sorted(f_v) * params.viscosity_strength * dt)
 
     # Un-sort back to original particle order via the inverse permutation (a gather;
     # a scatter here serializes on TPU), then integrate, bounce, colour.

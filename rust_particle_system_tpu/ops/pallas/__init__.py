@@ -7,14 +7,13 @@ hardware-independent.
 """
 
 from .nbody import nbody_accel_pallas
-from .sph import density_cells_pallas, pressure_cells_pallas, viscosity_cells_pallas
+from .sph import density_cells_pallas, force_cells_pallas
 from .sph_step import sph_frame_pallas, sph_physics_pallas, sph_step_pallas
 
 __all__ = [
     "nbody_accel_pallas",
     "density_cells_pallas",
-    "pressure_cells_pallas",
-    "viscosity_cells_pallas",
+    "force_cells_pallas",
     "sph_frame_pallas",
     "sph_physics_pallas",
     "sph_step_pallas",

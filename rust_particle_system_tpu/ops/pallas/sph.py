@@ -1,29 +1,45 @@
 """Fused SPH force kernels — Pallas TPU (the production step for configs 1 & 4).
 
 The reference walks each particle's 9-cell sorted runs three times per frame in WGSL
-(`assets/compute_shader.wgsl:207-254, 256-334, 336-384`).  Here the same three passes run
-as Pallas kernels over a **cell-dense plane layout**:
+(`assets/compute_shader.wgsl:207-254, 256-334, 336-384`).  Here the same physics runs
+as **two** Pallas passes over a cell-dense plane layout (spec v2: viscosity over
+pre-pressure velocities — see ops/reference_step.py — lets pressure + viscosity share
+one walk):
 
-    plane[gh + 2, W + 2, CP]   (one f32/i32 plane per field: x, y, idx, rho, vx, ...)
+    pass 1  density:            (Σ v², Σ v³) over predicted positions
+    pass 2  pressure+viscosity: (fx, fy, fvx, fvy) in ONE neighbourhood walk
+
+Plane layout (unchanged from round 1):
+
+    plane[gh + 2, W + 2, CP]   (one f32 plane per field: x, y, vx, ...)
 
 with one ghost row/column of sentinel cells on every side and the slot dimension padded
-to the 128-lane tile (CP).  Each grid program owns one grid row; its 3-row neighborhood
-arrives through the **standard Pallas pipeline** — every plane is passed three times
-with row-shifted ``index_map``s (r, r+1, r+2 into the padded plane), which keeps all
-blocks non-overlapping per input and lets Pallas double-buffer the HBM traffic.  (A
-manual-DMA window variant hit Mosaic faults on this toolchain; shifted index_maps are
-the portable formulation.)  Column neighborhoods are dynamic sublane slices of the
-in-VMEM row slabs; the pairwise interaction evaluates per (cell-tile, neighbor-offset)
-as a ``[TC, CP, CP]`` VPU tile accumulated over the 3x3 offsets.
+to the 128-lane tile (CP).  Each grid program owns one (grid row, column segment); its
+3-row neighborhood arrives through the standard Pallas pipeline — every plane is passed
+three times with row-shifted ``index_map``s, which keeps all blocks non-overlapping per
+input and lets Pallas double-buffer the HBM traffic.  Column neighborhoods are dynamic
+sublane slices of the in-VMEM row slabs; the pairwise interaction evaluates per
+(cell-tile, neighbor-offset) as a ``[TC, CP, CP]`` VPU tile accumulated over the 3x3
+offsets.
+
+Round-2 kernel economics (each verified against the round-1 formulation):
+
+* **relu masking, zero selects**: kernels are products of ``v = max(h−d, 0)`` /
+  ``u = max(h²−d², 0)``, so out-of-radius and sentinel pairs contribute exactly 0
+  without any compare+select per quantity;
+* **no idx planes / no per-pair self test**: the self-pair's force contribution is a
+  closed form of per-slot values (d=0 ⇒ v=h), subtracted once per slot after the
+  walk; the viscosity self term cancels algebraically in ``Σ vⱼ·u³ − vᵢ·Σ u³``;
+* **no divides**: the ε-guarded direction (compute_shader.wgsl:304-311) folds into
+  one masked ``rsqrt``; per-slot pressure terms arrive precomputed (they depend on
+  one particle only);
+* kernel norms are scalar factors folded outside the pair loop.
 
 Conventions that eliminate all masking:
 * empty slots and ghost cells carry position sentinels ``x = y = 1e6`` — every pair
-  involving them lands far outside the smoothing radius, so kernels give exactly 0;
-* the idx plane holds the particle's sorted index (unique, int32 stored as f32 —
-  exact below 2^24), -1 for empties — self-pairs are excluded by index equality, as
-  the reference does (compute_shader.wgsl:294-295);
-* density divisions are guarded with ``where(rho > 0, ...)`` so empty neighbors can't
-  produce inf·0 NaNs.
+  involving them lands far outside the smoothing radius, so all weights are exactly 0;
+* per-slot term planes of empty slots may hold (finite) garbage — they are always
+  multiplied by a zero weight, and outputs at empty slots are never read back.
 
 Parity oracle: ``ops/grid_step.py`` (same bulk-synchronous spec); on non-TPU backends
 the kernels run in interpreter mode.
@@ -55,15 +71,6 @@ def _offsets():
     return [(dy, dx) for dy in range(3) for dx in range(3)]
 
 
-def _pair_geom(ox, oy, nx, ny):
-    """[TC, CP, CP] pairwise deltas/distances: own slots x neighbor cell slots."""
-    dx = nx[:, None, :] - ox[:, :, None]
-    dy = ny[:, None, :] - oy[:, :, None]
-    d2 = dx * dx + dy * dy
-    dist = jnp.sqrt(d2)
-    return dx, dy, dist
-
-
 def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
     """Largest divisor of wt that is a multiple of tc and <= limit.
 
@@ -77,30 +84,40 @@ def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
     return best
 
 
-def _make_seg_kernel(pair_update, n_channels: int, n_out: int, tc: int, seg: int):
+def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
+                     n_out: int, tc: int, seg: int, finalize=None):
     """Build a kernel: one (grid row, column segment) per program.
 
-    Inputs arrive as ``n_channels * 3`` slabs ``[1, 1, seg+2, CP]`` (each channel's
-    rows r-1, r, r+1 of the program's segment, halo columns included).
-    ``pair_update(own, nbrs, accs) -> accs`` folds one (tile, offset) pairwise block
-    into the accumulators:
+    Inputs arrive as ``n_channels * 3`` halo slabs ``[1, 1, seg+2, CP]`` (each
+    channel's rows r-1, r, r+1 of the program's segment, halo columns included),
+    followed by ``n_own`` own-only slabs ``[1, 1, seg, CP]`` (row r, no halo —
+    channels consumed only on the own side of a pair).
 
-    * ``own``:  per-channel own-cell values, each [TC, CP]
-    * ``nbrs``: per-channel neighbor values for this offset, each [TC, CP]
+    ``pair_update(scal, own, nbrs, accs) -> accs`` folds one (tile, offset) pairwise
+    block into the accumulators:
+
+    * ``own``:  per-channel own-cell values (halo channels then own-only), [TC, CP]
+    * ``nbrs``: per-halo-channel neighbor values for this offset, each [TC, CP]
+
+    ``finalize(scal, own, accs) -> outs`` maps accumulators to the ``n_out`` outputs
+    (identity when None).
     """
 
     def kernel(scal_ref, *refs):
         ins = refs[: n_channels * 3]
-        outs = refs[n_channels * 3 : n_channels * 3 + n_out]
+        own_ins = refs[n_channels * 3 : n_channels * 3 + n_own]
+        outs = refs[n_channels * 3 + n_own :]
 
         def tile_body(t, _):
             c0 = t * tc
             own = tuple(
                 ins[ch * 3 + 1][0, 0, pl.ds(c0 + 1, tc), :]
                 for ch in range(n_channels)
+            ) + tuple(
+                own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own)
             )
             accs = tuple(
-                jnp.zeros((tc, own[0].shape[-1]), jnp.float32) for _ in range(n_out)
+                jnp.zeros((tc, own[0].shape[-1]), jnp.float32) for _ in range(n_acc)
             )
             for dy, dx in _offsets():
                 nbrs = tuple(
@@ -108,8 +125,9 @@ def _make_seg_kernel(pair_update, n_channels: int, n_out: int, tc: int, seg: int
                     for ch in range(n_channels)
                 )
                 accs = pair_update(scal_ref, own, nbrs, accs)
-            for o, acc in zip(outs, accs):
-                o[0, 0, pl.ds(c0, tc), :] = acc
+            res = finalize(scal_ref, own, accs) if finalize is not None else accs
+            for o, r in zip(outs, res):
+                o[0, 0, pl.ds(c0, tc), :] = r
             return 0
 
         # fori_loop beats static unrolling here (measured: unroll was ~8% slower
@@ -124,47 +142,79 @@ def _make_seg_kernel(pair_update, n_channels: int, n_out: int, tc: int, seg: int
 # --------------------------------------------------------------------------------------
 
 def _density_update(scal, own, nbrs, accs):
-    """compute_shader.wgsl:207-254 — self included."""
-    h, dn, nn = scal[0], scal[1], scal[2]
+    """compute_shader.wgsl:207-254 — self included; norms folded outside.
+
+    Accumulates (Σ v², Σ v³) with v = max(h − d, 0); the caller scales by the
+    density / near-density kernel norms."""
+    h = scal[0]
     (ox, oy), (nx, ny) = own, nbrs
-    _, _, dist = _pair_geom(ox, oy, nx, ny)
-    v = h - dist
-    inside = dist < h
-    rho, rhon = accs
-    rho = rho + jnp.sum(jnp.where(inside, dn * v * v, 0.0), axis=-1)
-    rhon = rhon + jnp.sum(jnp.where(inside, nn * v * v * v, 0.0), axis=-1)
-    return rho, rhon
+    dx = nx[:, None, :] - ox[:, :, None]
+    dy = ny[:, None, :] - oy[:, :, None]
+    d = jnp.sqrt(dx * dx + dy * dy)
+    v = jnp.maximum(h - d, 0.0)
+    vv = v * v
+    s2, s3 = accs
+    return s2 + jnp.sum(vv, axis=-1), s3 + jnp.sum(vv * v, axis=-1)
 
 
-def _pressure_update(scal, own, nbrs, accs):
-    """compute_shader.wgsl:256-334 — self excluded by idx, ε-guarded direction with
-    (0,1) fallback, and the ρ_j·ρnear_j denominator quirk (:326-327) kept verbatim.
+def _force_update(scal, own, nbrs, accs):
+    """Fused pressure (compute_shader.wgsl:256-334) + viscosity (:336-384).
 
-    Per-slot pressure terms (p/ρ², np/ρ², np/(ρ·ρnear)) arrive PRECOMPUTED (see
-    :func:`pressure_terms`) — they depend on one particle only, so evaluating them
-    per pair would waste ~2 divisions + 6 multiplies on every candidate."""
-    h, dn, nn = scal[0], scal[1], scal[2]
-    (ox, oy, oi, opt, onpo, _), (nx, ny, ni, npt, _, nnpn) = own, nbrs
+    Halo channels: (px, py, P1, NPn, vx, vy); own-only channel: NPo, where the
+    per-slot terms are P1 = p/ρ², NPo = np/ρ², NPn = np/(ρ·ρnear) (the reference's
+    ρ_j·ρnear_j quirk, :326-327) — see :func:`pressure_terms`.
 
-    dx, dy, dist = _pair_geom(ox, oy, nx, ny)
-    valid = (dist < h) & (oi[:, :, None] != ni[:, None, :])
+    Scalars: (h, α, β, ε²) with α = −2·density_norm, β = −3·near_density_norm.
+    Per pair: mag = (P1ᵢ+P1ⱼ)·α·v + (NPoᵢ+NPnⱼ)·β·v²; force += (Δ/d)·mag with the
+    ε-direction (0,1) fallback realized as inv_d = 0 + a near-pair fy term.
+    Viscosity accumulates (Σ u³, Σ vxⱼ·u³, Σ vyⱼ·u³), u = max(h²−d², 0); the self
+    pair cancels in the finalize combination, and the self pressure term (a closed
+    form at d = 0) is subtracted there too.
+    """
+    h, alpha, beta, eps2 = scal[0], scal[1], scal[2], scal[3]
+    ox, oy, oP1, _ovx, _ovy, oNPo = own[0], own[1], own[2], own[4], own[5], own[6]
+    nx, ny, nP1, nNPn, nvx, nvy = nbrs
 
-    near0 = dist <= _EPS_DIST
-    inv_d = jnp.where(near0, 0.0, 1.0 / jnp.where(near0, 1.0, dist))
+    dx = nx[:, None, :] - ox[:, :, None]
+    dy = ny[:, None, :] - oy[:, :, None]
+    d2 = dx * dx + dy * dy
+    near0 = d2 <= eps2
+    inv_d = jnp.where(near0, 0.0, jax.lax.rsqrt(d2))
+    d = d2 * inv_d  # exact d off the ε-ball; 0 inside it (reference: d ≈ 0 there)
+    v = jnp.maximum(h - d, 0.0)
+    vv = v * v
 
-    pressure_term = opt[:, :, None] + npt[:, None, :]
-    near_term = onpo[:, :, None] + nnpn[:, None, :]
-
-    v = h - dist
-    dw = -2.0 * dn * v
-    dwn = -3.0 * nn * v * v
-    mag = jnp.where(valid, pressure_term * dw + near_term * dwn, 0.0)
-    # fold the direction normalisation into the magnitude; (0,1) fallback for d≈0
+    pt = oP1[:, :, None] + nP1[:, None, :]
+    nt = oNPo[:, :, None] + nNPn[:, None, :]
+    mag = pt * (alpha * v) + nt * (beta * vv)
     m = mag * inv_d
-    fx, fy = accs
+
+    u = jnp.maximum(h * h - d2, 0.0)
+    u3 = u * u * u
+
+    fx, fy, S, Sx, Sy = accs
     fx = fx + jnp.sum(dx * m, axis=-1)
     fy = fy + jnp.sum(dy * m + jnp.where(near0, mag, 0.0), axis=-1)
-    return fx, fy
+    S = S + jnp.sum(u3, axis=-1)
+    Sx = Sx + jnp.sum(nvx[:, None, :] * u3, axis=-1)
+    Sy = Sy + jnp.sum(nvy[:, None, :] * u3, axis=-1)
+    return fx, fy, S, Sx, Sy
+
+
+def _force_finalize(scal, own, accs):
+    """Subtract the self pressure term; combine the viscosity sums.
+
+    Self pair: d = 0 ⇒ near-pair fy fallback added mag_self = 2·P1ᵢ·α·h +
+    (NPoᵢ+NPnᵢ)·β·h² (the reference excludes self by index, :294-295).  Viscosity:
+    fv = Σⱼ vⱼ·u³ − vᵢ·Σⱼ u³ — the self term cancels exactly (u³ₛₑₗf·vᵢ both sides).
+    The viscosity kernel norm is NOT applied here; the caller folds it into the
+    velocity update scale.
+    """
+    h, alpha, beta = scal[0], scal[1], scal[2]
+    oP1, oNPn, ovx, ovy, oNPo = own[2], own[3], own[4], own[5], own[6]
+    fx, fy, S, Sx, Sy = accs
+    mag_self = (oP1 + oP1) * (alpha * h) + (oNPo + oNPn) * (beta * h * h)
+    return fx, fy - mag_self, Sx - ovx * S, Sy - ovy * S
 
 
 def pressure_terms(rho, rhon, params):
@@ -177,18 +227,20 @@ def pressure_terms(rho, rhon, params):
     return p * inv_rho2, np_ * inv_rho2, np_ / (rho_safe * rhon_safe)
 
 
-def _viscosity_update(scal, own, nbrs, accs):
-    """compute_shader.wgsl:336-384 — Σ (v_j − v_i)·W_visc, self excluded."""
-    h, vn = scal[0], scal[1]
-    (ox, oy, oi, ovx, ovy), (nx, ny, ni, nvx, nvy) = own, nbrs
-    _, _, dist = _pair_geom(ox, oy, nx, ny)
-    valid = (dist < h) & (oi[:, :, None] != ni[:, None, :])
-    u = h * h - dist * dist
-    w = jnp.where(valid, vn * u * u * u, 0.0)
-    fx, fy = accs
-    fx = fx + jnp.sum((nvx[:, None, :] - ovx[:, :, None]) * w, axis=-1)
-    fy = fy + jnp.sum((nvy[:, None, :] - ovy[:, :, None]) * w, axis=-1)
-    return fx, fy
+def density_scalars(params):
+    return jnp.stack([params.smoothing_radius]).astype(jnp.float32)
+
+
+def force_scalars(params):
+    """(h, α=−2·density_norm, β=−3·near_density_norm, ε²)."""
+    return jnp.stack(
+        [
+            params.smoothing_radius,
+            -2.0 * params.density_kernel_norm,
+            -3.0 * params.near_density_kernel_norm,
+            jnp.float32(_EPS_DIST) ** 2,
+        ]
+    ).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------------------
@@ -211,17 +263,33 @@ def _pad_plane(x, gh, gw, wt, fill, cp):
     return out.at[1 : gh + 1, 1 : gw + 1, : x.shape[-1]].set(x.astype(jnp.float32))
 
 
-def _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret):
+def _grow_plane(x, fill):
+    """[gh, wt, CP] (kernel-output layout) -> [gh+2, wt+2, CP] with ghost border."""
+    gh, wt, cp = x.shape
+    out = jnp.full((gh + 2, wt + 2, cp), fill, jnp.float32)
+    return out.at[1 : gh + 1, 1 : wt + 1, :].set(x)
+
+
+def _own_plane(x, gh, gw, wt, fill, cp):
+    """[gh, gw, C] -> [gh, wt, CP] own-only layout (tile/lane padding, no ghosts)."""
+    out = jnp.full((gh, wt, cp), fill, jnp.float32)
+    return out.at[:, :gw, : x.shape[-1]].set(x.astype(jnp.float32))
+
+
+def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
+                interpret, finalize=None):
     """Shared pallas_call over width-segmented planes.
 
-    Each padded plane [gh+2, wt+2, CP] is re-laid out as [gh+2, nseg, seg+2, CP]
-    (halo columns duplicated between segments), then enters the kernel 3x with
-    row-shifted index maps — every block is non-overlapping within its input, VMEM
-    stays bounded at any width, and Pallas double-buffers the slab fetches.
+    Each padded halo plane [gh+2, wt+2, CP] is re-laid out as
+    [gh+2, nseg, seg+2, CP] (halo columns duplicated between segments), then enters
+    the kernel 3x with row-shifted index maps; own-only planes [gh, wt, CP] enter
+    once as [gh, nseg, seg, CP].  Every block is non-overlapping within its input,
+    VMEM stays bounded at any width, and Pallas double-buffers the slab fetches.
     """
     seg = _seg_width(wt, tc)
     nseg = wt // seg
-    kernel = _make_seg_kernel(update, len(planes), n_out, tc, seg)
+    kernel = _make_seg_kernel(update, len(planes), len(own_planes), n_acc, n_out,
+                              tc, seg, finalize)
 
     def segmented(p):
         return jnp.stack(
@@ -238,6 +306,10 @@ def _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret):
         for dy in range(3):
             in_specs.append(slab(dy))
             args.append(sp)
+    own_spec = pl.BlockSpec((1, 1, seg, cp), lambda r, s: (r, s, 0, 0))
+    for p in own_planes:
+        in_specs.append(own_spec)
+        args.append(p.reshape(gh, nseg, seg, cp))
     out_spec = pl.BlockSpec((1, 1, seg, cp), lambda r, s: (r, s, 0, 0))
     call = pl.pallas_call(
         kernel,
@@ -247,9 +319,12 @@ def _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret):
         out_shape=tuple(
             [jax.ShapeDtypeStruct((gh, nseg, seg, cp), jnp.float32)] * n_out
         ),
-        # rows/segments are independent: lets Mosaic pipeline slab fetches freely
+        # rows/segments are independent: lets Mosaic pipeline slab fetches freely.
+        # The fused force body keeps ~20 live [TC, CP, CP] temporaries; the default
+        # 16 MB scoped-vmem budget is too tight for it (v5e VMEM is 128 MB).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -261,18 +336,11 @@ def _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret):
     return run, args
 
 
-def _run(update, scal, planes, n_out, spec, interpret):
-    interpret, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    call, args = _plane_call(update, planes, n_out, gh, wt, cp, tc, interpret)
-    args[0] = scal
-    outs = call(*args)
-    C = spec.capacity
-    return tuple(o[:, :gw, :C] for o in outs)
-
-
 # --------------------------------------------------------------------------------------
-# Pre-padded entry points (used by the multi-chip sharded step, whose ghost rows come
-# from ppermute halo exchange rather than sentinel padding).
+# Padded-plane entry points.  The caller owns ALL padding: ghost rows (halo or
+# sentinel), ghost columns, tile and lane padding.  Plane geometry must come from
+# :func:`plane_geometry`.  Used by the single-chip step AND the multi-chip sharded
+# step (whose ghost rows come from ppermute halo exchange rather than padding).
 # --------------------------------------------------------------------------------------
 
 def plane_geometry(gw: int, capacity: int):
@@ -283,73 +351,68 @@ def plane_geometry(gw: int, capacity: int):
     return cp, tc, wt
 
 
-def run_padded(update, scal, padded_planes, n_out: int, interpret: bool):
-    """Run a pass over pre-padded planes [rows+2, wt+2, CP]; returns [rows, wt, CP].
+def density_planes(ppx, ppy, params, interpret: bool):
+    """Density pass over pre-padded position planes [rows+2, wt+2, CP].
 
-    The caller owns ALL padding: ghost rows (halo or sentinel), ghost columns, tile
-    and lane padding.  Plane geometry must come from :func:`plane_geometry`.
-    """
-    rows = padded_planes[0].shape[0] - 2
-    wtp2, cp = padded_planes[0].shape[1], padded_planes[0].shape[2]
-    wt = wtp2 - 2
+    Returns (rho, rhon) [rows, wt, CP] — true densities (norms applied)."""
+    rows = ppx.shape[0] - 2
+    wt, cp = ppx.shape[1] - 2, ppx.shape[2]
     tc = _tile_cells(cp)
-    call, args = _plane_call(update, padded_planes, n_out, rows, wt, cp, tc, interpret)
-    args[0] = scal
+    call, args = _plane_call(_density_update, [ppx, ppy], [], 2, 2, rows, wt, cp,
+                             tc, interpret)
+    args[0] = density_scalars(params)
+    s2, s3 = call(*args)
+    return params.density_kernel_norm * s2, params.near_density_kernel_norm * s3
+
+
+def force_planes(ppx, ppy, pP1, pNPn, pvx, pvy, NPo, params, interpret: bool):
+    """Fused pressure+viscosity pass over pre-padded planes.
+
+    Halo planes [rows+2, wt+2, CP]: positions, P1, NPn, velocities; own-only plane
+    NPo is [rows, wt, CP] (kernel-output layout, no ghost border).  Returns
+    (fx, fy, fvx, fvy) [rows, wt, CP]; fvx/fvy are the raw Σ(vⱼ−vᵢ)·u³ sums — scale
+    by ``viscosity_kernel_norm * viscosity_strength`` in the velocity update.
+    """
+    rows = ppx.shape[0] - 2
+    wt, cp = ppx.shape[1] - 2, ppx.shape[2]
+    tc = _tile_cells(cp)
+    call, args = _plane_call(_force_update, [ppx, ppy, pP1, pNPn, pvx, pvy],
+                             [NPo], 5, 4, rows, wt, cp, tc, interpret,
+                             finalize=_force_finalize)
+    args[0] = force_scalars(params)
     return call(*args)
 
 
-def density_scalars(params):
-    return jnp.stack(
-        [params.smoothing_radius, params.density_kernel_norm,
-         params.near_density_kernel_norm]
-    ).astype(jnp.float32)
-
-
-def pressure_scalars(params):
-    # the optimized pressure kernel consumes the same (h, dn, nn) triple
-    return density_scalars(params)
-
-
-def viscosity_scalars(params):
-    return jnp.stack(
-        [params.smoothing_radius, params.viscosity_kernel_norm]
-    ).astype(jnp.float32)
-
+# --------------------------------------------------------------------------------------
+# [gh, gw, C]-plane convenience wrappers (single-chip path, tests).
+# --------------------------------------------------------------------------------------
 
 def density_cells_pallas(px, py, *, spec, params, interpret=None):
     """[gh, gw, C] position planes -> (rho, rhon) [gh, gw, C]."""
-    _, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    scal = density_scalars(params)
-    planes = [_pad_plane(px, gh, gw, wt, _SENTINEL, cp),
-              _pad_plane(py, gh, gw, wt, _SENTINEL, cp)]
-    return _run(_density_update, scal, planes, 2, spec, interpret)
+    interpret, gh, gw, cp, tc, wt = _setup(spec, interpret)
+    ppx = _pad_plane(px, gh, gw, wt, _SENTINEL, cp)
+    ppy = _pad_plane(py, gh, gw, wt, _SENTINEL, cp)
+    rho, rhon = density_planes(ppx, ppy, params, interpret)
+    C = spec.capacity
+    return rho[:, :gw, :C], rhon[:, :gw, :C]
 
 
-def pressure_cells_pallas(px, py, idx, rho, rhon, *, spec, params, interpret=None):
-    """Pressure + near-pressure force planes (fx, fy)."""
-    _, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    scal = pressure_scalars(params)
-    pt, npo, npn = pressure_terms(rho, rhon, params)
-    planes = [
+def force_cells_pallas(px, py, vx, vy, rho, rhon, *, spec, params, interpret=None):
+    """Fused pressure+viscosity forces from [gh, gw, C] planes.
+
+    Returns (fx, fy, fvx, fvy) [gh, gw, C]; see :func:`force_planes` for scaling."""
+    interpret, gh, gw, cp, tc, wt = _setup(spec, interpret)
+    P1, NPo, NPn = pressure_terms(rho, rhon, params)
+    outs = force_planes(
         _pad_plane(px, gh, gw, wt, _SENTINEL, cp),
         _pad_plane(py, gh, gw, wt, _SENTINEL, cp),
-        _pad_plane(idx, gh, gw, wt, -1.0, cp),
-        _pad_plane(pt, gh, gw, wt, 0.0, cp),
-        _pad_plane(npo, gh, gw, wt, 0.0, cp),
-        _pad_plane(npn, gh, gw, wt, 0.0, cp),
-    ]
-    return _run(_pressure_update, scal, planes, 2, spec, interpret)
-
-
-def viscosity_cells_pallas(px, py, idx, vx, vy, *, spec, params, interpret=None):
-    """Viscosity force planes (fx, fy) using current velocity planes."""
-    _, gh, gw, cp, tc, wt = _setup(spec, interpret)
-    scal = viscosity_scalars(params)
-    planes = [
-        _pad_plane(px, gh, gw, wt, _SENTINEL, cp),
-        _pad_plane(py, gh, gw, wt, _SENTINEL, cp),
-        _pad_plane(idx, gh, gw, wt, -1.0, cp),
+        _pad_plane(P1, gh, gw, wt, 0.0, cp),
+        _pad_plane(NPn, gh, gw, wt, 0.0, cp),
         _pad_plane(vx, gh, gw, wt, 0.0, cp),
         _pad_plane(vy, gh, gw, wt, 0.0, cp),
-    ]
-    return _run(_viscosity_update, scal, planes, 2, spec, interpret)
+        _own_plane(NPo, gh, gw, wt, 0.0, cp),
+        params,
+        interpret,
+    )
+    C = spec.capacity
+    return tuple(o[:, :gw, :C] for o in outs)

@@ -19,9 +19,12 @@ from ...core.state import ParticleState
 from ...ops.grid import GridSpec, build_grid
 from .sph import (
     _SENTINEL,
-    density_cells_pallas,
-    pressure_cells_pallas,
-    viscosity_cells_pallas,
+    _grow_plane,
+    _own_plane,
+    density_planes,
+    force_planes,
+    plane_geometry,
+    pressure_terms,
 )
 
 
@@ -29,11 +32,19 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
                        interpret: bool | None = None, want_planes: bool = False):
     """One physics frame.  Returns (new_state, overflow[, planes]).
 
+    Two Pallas walks (spec v2): density, then fused pressure+viscosity.  Everything
+    between them is elementwise in the padded plane layout [gh, wt, CP] — values at
+    empty slots are finite garbage that is never read back (the pull-back gathers
+    live slots only; the fused-render planes are live-masked).
+
     With ``want_planes`` the cell-dense planes of the frame's END state (positions,
     velocities, live mask) are also returned, enabling the fused renderer
     (``render/splat_planes.py``) to draw the frame without re-binning."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     gh, gw, C = spec.gh, spec.gw, spec.capacity
     nc = spec.num_cells
+    cp, tc, wt = plane_geometry(gw, C)
     dt = params.dt
 
     vel = state.vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
@@ -53,28 +64,31 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     live = table >= 0
     cells = packed[jnp.where(live, table, n)]  # [nc, C, 4]
 
-    px = cells[..., 0].reshape(gh, gw, C)
-    py = cells[..., 1].reshape(gh, gw, C)
-    idx = jnp.where(live, table, -1).reshape(gh, gw, C)
+    # Own-layout planes [gh, wt, CP] (lane/tile padded), built once per frame.
+    pxw = _own_plane(cells[..., 0].reshape(gh, gw, C), gh, gw, wt, _SENTINEL, cp)
+    pyw = _own_plane(cells[..., 1].reshape(gh, gw, C), gh, gw, wt, _SENTINEL, cp)
+    vxw = _own_plane(cells[..., 2].reshape(gh, gw, C), gh, gw, wt, 0.0, cp)
+    vyw = _own_plane(cells[..., 3].reshape(gh, gw, C), gh, gw, wt, 0.0, cp)
+    ppx = _grow_plane(pxw, _SENTINEL)
+    ppy = _grow_plane(pyw, _SENTINEL)
 
-    rho, rhon = density_cells_pallas(px, py, spec=spec, params=params,
-                                     interpret=interpret)
+    # Pass 1: density.
+    rho, rhon = density_planes(ppx, ppy, params, interpret)
 
-    fpx, fpy = pressure_cells_pallas(px, py, idx, rho, rhon, spec=spec,
-                                     params=params, interpret=interpret)
-
-    # Velocity updates happen in PLANE space (elementwise over cell slots) so the
-    # per-particle pull-back gather runs once, at the end.
-    vx = cells[..., 2].reshape(gh, gw, C) + fpx * dt
-    vy = cells[..., 3].reshape(gh, gw, C) + fpy * dt
-
-    fvx, fvy = viscosity_cells_pallas(px, py, idx, vx, vy, spec=spec,
-                                      params=params, interpret=interpret)
-    vx = vx + fvx * params.viscosity_strength * dt
-    vy = vy + fvy * params.viscosity_strength * dt
+    # Pass 2: fused pressure + viscosity (pre-pressure velocities, spec v2).
+    P1, NPo, NPn = pressure_terms(rho, rhon, params)
+    fx, fy, fvx, fvy = force_planes(
+        ppx, ppy, _grow_plane(P1, 0.0), _grow_plane(NPn, 0.0),
+        _grow_plane(vxw, 0.0), _grow_plane(vyw, 0.0), NPo, params, interpret,
+    )
+    vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
+    nvx = vxw + fx * dt + fvx * vscale
+    nvy = vyw + fy * dt + fvy * vscale
 
     # Packed final pull-back: one [n]-row gather of (vx, vy) pairs.
-    vplane = jnp.stack([vx.reshape(nc, C), vy.reshape(nc, C)], axis=-1)  # [nc, C, 2]
+    vplane = jnp.stack(
+        [nvx[:, :gw, :C].reshape(nc, C), nvy[:, :gw, :C].reshape(nc, C)], axis=-1
+    )
     s = jnp.minimum(grid.slot, C - 1)
     pulled = vplane[grid.sorted_keys, s]  # [n, 2], sorted order
     in_table = (grid.slot < C)[:, None]
@@ -90,13 +104,14 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
         return new_state, grid.overflow
 
     # End-of-frame planes for the fused renderer: final position = predicted +
-    # (v_final − v_predicted)·dt, then the same bounce, all elementwise in plane space.
-    vx0 = cells[..., 2].reshape(gh, gw, C)
-    vy0 = cells[..., 3].reshape(gh, gw, C)
-    fx_plane = px + (vx - vx0) * dt
-    fy_plane = py + (vy - vy0) * dt
+    # (v_final − v_predicted)·dt, then the same bounce, all elementwise in plane
+    # space ([gh, gw, C] views of the padded planes).
+    px, py = pxw[:, :gw, :C], pyw[:, :gw, :C]
+    vx1, vy1 = nvx[:, :gw, :C], nvy[:, :gw, :C]
+    fx_plane = px + (vx1 - vxw[:, :gw, :C]) * dt
+    fy_plane = py + (vy1 - vyw[:, :gw, :C]) * dt
     plane_pos = jnp.stack([fx_plane, fy_plane], axis=-1)
-    plane_vel = jnp.stack([vx, vy], axis=-1)
+    plane_vel = jnp.stack([vx1, vy1], axis=-1)
     plane_pos, plane_vel = K.bounce_bounds(
         plane_pos, plane_vel, params.bounds, params.damping_factor
     )

@@ -9,12 +9,20 @@ version only approximates, see SURVEY.md §3.5.1):
 1. gravity:      v += (0, -g)·dt                       (compute_shader.wgsl:397-400)
 2. predict:      p̂ = pos + v·dt                        (compute_shader.wgsl:402-405)
 3. density:      (ρ, ρ_near) over p̂, self included     (compute_shader.wgsl:207-254)
-4. pressure:     v += F_p·dt, self excluded            (compute_shader.wgsl:256-334)
-5. viscosity:    v += strength·Σ(v_j − v_i)·W_visc·dt  (compute_shader.wgsl:336-384)
-                 (uses post-pressure velocities for all particles — bulk-sync choice)
-6. integrate:    pos += v·dt                           (compute_shader.wgsl:392-395)
-7. bounce:       clamp + damped reflect                (compute_shader.wgsl:69-99)
-8. colour:       kinetic-energy ramp                   (compute_shader.wgsl:101-118)
+4. forces:       F_p (pressure, self excluded)         (compute_shader.wgsl:256-334)
+                 F_v = Σ(v_j − v_i)·W_visc             (compute_shader.wgsl:336-384)
+                 both over p̂ and the POST-GRAVITY velocities, then
+                 v += F_p·dt + strength·F_v·dt  in one barrier
+5. integrate:    pos += v·dt                           (compute_shader.wgsl:392-395)
+6. bounce:       clamp + damped reflect                (compute_shader.wgsl:69-99)
+7. colour:       kinetic-energy ramp                   (compute_shader.wgsl:101-118)
+
+Spec note (v2, round 2): the reference's racy `simulation_step` reads neighbour
+velocities that other invocations are concurrently updating, so it has no single
+deterministic viscosity input; round 1 arbitrarily picked post-pressure velocities.
+This spec picks **pre-pressure (post-gravity) velocities**, equally consistent with
+the WGSL and fusable: pressure + viscosity become ONE neighbourhood walk sharing the
+pair geometry (see ops/pallas/sph.py).  All five implementations + oracles use this.
 
 Faithfully-kept reference quirks:
 * near-pressure term divides by ``ρ_j · ρnear_j`` instead of ``ρnear_j²``
@@ -122,9 +130,9 @@ def _physics(state: ParticleState, params: SimParams) -> ParticleState:
 
     density, near_density = all_pairs_density(pred, params)
     f_p = all_pairs_pressure_force(pred, density, near_density, params)
-    vel = vel + f_p * dt
+    # spec v2: viscosity over PRE-pressure (post-gravity) velocities, one barrier.
     f_v = all_pairs_viscosity(pred, vel, params)
-    vel = vel + f_v * params.viscosity_strength * dt
+    vel = vel + f_p * dt + f_v * params.viscosity_strength * dt
 
     pos = state.pos + vel * dt
     pos, vel = K.bounce_bounds(pos, vel, params.bounds, params.damping_factor)

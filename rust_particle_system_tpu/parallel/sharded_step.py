@@ -12,13 +12,12 @@ Per-frame schedule on every chip (all shapes static):
 2. migrate: particles whose predicted cell-row left the band go to the adjacent band
    (one band per step max — violations are clamped and counted)
 3. local bin/sort into the band's [rows_per_band * gw] cell grid
-4. halo exchange ghost rows (positions + slot validity)           ── ppermute ×2
-5. density pass over [C, 9C] cell tiles (ghost-aware)
-6. halo exchange ghost densities                                  ── ppermute ×2
-7. pressure pass → velocity update
-8. halo exchange ghost post-pressure velocities                   ── ppermute ×2
-9. viscosity pass → velocity update
-10. integrate + bounce + colour (slot-masked)
+4. halo exchange ghost rows (positions + velocities + validity)   ── ppermute ×2
+5. density pass (Pallas plane kernel, ghost-aware)
+6. halo exchange ghost pressure terms                             ── ppermute ×2
+7. fused pressure+viscosity pass → velocity update (spec v2: viscosity over the
+   round-4 pre-pressure velocities, so no third halo round exists)
+8. integrate + bounce + colour (slot-masked)
 
 Diagnostics (psum'd, replicated): migration drops, band violations, grid overflow —
 the multi-chip analog of the reference's disabled debug validators (`src/debug.rs`).
@@ -37,15 +36,10 @@ from ..core import kernels as K
 from ..core.params import SimParams
 from ..ops.pallas.sph import (
     _SENTINEL,
-    _density_update,
-    _pressure_update,
-    _viscosity_update,
-    density_scalars,
+    density_planes,
+    force_planes,
     plane_geometry,
-    pressure_scalars,
     pressure_terms,
-    run_padded,
-    viscosity_scalars,
 )
 from .shard import ShardedState, ShardSpec
 
@@ -217,65 +211,55 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
         p = p.at[R + 1, 1 : gw + 1, :C].set(gt.astype(jnp.float32))
         return p
 
+    # Halo round 1: positions + velocities + validity of boundary cell-rows (spec v2
+    # fuses pressure+viscosity over PRE-pressure velocities, so ONE velocity halo
+    # up front replaces round 1's position-only halo + a post-pressure round).
     cmask = live.astype(jnp.float32)
     gb_mask, gt_mask = halo(cmask)
     cpx = jnp.where(live, cells[..., 0], _SENTINEL)
     cpy = jnp.where(live, cells[..., 1], _SENTINEL)
+    cvx = cells[..., 2].reshape(LC, C)
+    cvy = cells[..., 3].reshape(LC, C)
     gb_px, gt_px = halo(cpx)
     gb_py, gt_py = halo(cpy)
+    gb_vx, gt_vx = halo(cvx)
+    gb_vy, gt_vy = halo(cvy)
     # ghost positions: ppermute zero-fills edge bands; re-park dead ghosts far away
     gb_px = jnp.where(gb_mask > 0.5, gb_px, _SENTINEL)
     gt_px = jnp.where(gt_mask > 0.5, gt_px, _SENTINEL)
     gb_py = jnp.where(gb_mask > 0.5, gb_py, _SENTINEL)
     gt_py = jnp.where(gt_mask > 0.5, gt_py, _SENTINEL)
 
-    # idx channel: local sorted indices; ghost pseudo-indices >= cap never collide
-    lin = jnp.arange(gw * C, dtype=jnp.int32).reshape(gw, C).astype(jnp.float32)
-    idx_local = jnp.where(live, tbl.astype(jnp.float32), -1.0)
-    gb_idx = jnp.where(gb_mask > 0.5, cap + lin, -1.0)
-    gt_idx = jnp.where(gt_mask > 0.5, cap + gw * C + lin, -1.0)
-
     ppx = plane_with_halo(cpx, gb_px, gt_px, _SENTINEL)
     ppy = plane_with_halo(cpy, gb_py, gt_py, _SENTINEL)
-    pidx = plane_with_halo(idx_local, gb_idx, gt_idx, -1.0)
+    pvx = plane_with_halo(cvx, gb_vx, gt_vx, 0.0)
+    pvy = plane_with_halo(cvy, gb_vy, gt_vy, 0.0)
 
     # 5. density (Pallas)
-    rho_p, rhon_p = run_padded(
-        _density_update, density_scalars(params), [ppx, ppy], 2, interpret
-    )
+    rho_p, rhon_p = density_planes(ppx, ppy, params, interpret)
     rho = rho_p[:, :gw, :C].reshape(LC, C)
     rhon = rhon_p[:, :gw, :C].reshape(LC, C)
 
-    # 6. per-slot pressure terms, then halo the ones consumed on the neighbor side
+    # 6. per-slot pressure terms; halo round 2 ships the neighbor-consumed ones
     pt, npo, npn = pressure_terms(rho, rhon, params)
     gb_pt, gt_pt = halo(pt)
     gb_npn, gt_npn = halo(npn)
-    zrow = jnp.zeros((gw, C), jnp.float32)
     ppt = plane_with_halo(pt, gb_pt, gt_pt, 0.0)
-    pnpo = plane_with_halo(npo, zrow, zrow, 0.0)  # own-side only; ghosts unused
     pnpn = plane_with_halo(npn, gb_npn, gt_npn, 0.0)
-
-    # 7. pressure (Pallas) -> plane-space velocity update
-    fpx, fpy = run_padded(
-        _pressure_update, pressure_scalars(params), [ppx, ppy, pidx, ppt, pnpo, pnpn],
-        2, interpret,
+    # own-only plane (no ghosts): [R, wt, CP]
+    wnpo = jnp.zeros((R, wt, cp), jnp.float32).at[:, :gw, :C].set(
+        npo.reshape(R, gw, C)
     )
-    vx = cells[..., 2].reshape(R, gw, C) + fpx[:, :gw, :C] * dt
-    vy = cells[..., 3].reshape(R, gw, C) + fpy[:, :gw, :C] * dt
 
-    # 8. halo: ghost post-pressure velocities
-    gb_vx, gt_vx = halo(vx.reshape(LC, C))
-    gb_vy, gt_vy = halo(vy.reshape(LC, C))
-    pvx = plane_with_halo(vx.reshape(LC, C), gb_vx, gt_vx, 0.0)
-    pvy = plane_with_halo(vy.reshape(LC, C), gb_vy, gt_vy, 0.0)
-
-    # 9. viscosity (Pallas)
-    fvx, fvy = run_padded(
-        _viscosity_update, viscosity_scalars(params), [ppx, ppy, pidx, pvx, pvy],
-        2, interpret,
+    # 7. fused pressure + viscosity (Pallas) -> plane-space velocity update
+    fpx, fpy, fvx, fvy = force_planes(
+        ppx, ppy, ppt, pnpn, pvx, pvy, wnpo, params, interpret
     )
-    vx = vx + fvx[:, :gw, :C] * params.viscosity_strength * dt
-    vy = vy + fvy[:, :gw, :C] * params.viscosity_strength * dt
+    vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
+    vx = cells[..., 2].reshape(R, gw, C) + fpx[:, :gw, :C] * dt \
+        + fvx[:, :gw, :C] * vscale
+    vy = cells[..., 3].reshape(R, gw, C) + fpy[:, :gw, :C] * dt \
+        + fvy[:, :gw, :C] * vscale
 
     # packed final pull-back per sorted particle
     vplane = jnp.stack([vx.reshape(LC, C), vy.reshape(LC, C)], axis=-1)

@@ -109,7 +109,8 @@ def step(pos, vel, p: Params, frame: int):
     pressure = (density - p.target_density) * p.pressure_multiplier
     near_pressure = near_density * p.near_density_multiplier
 
-    # pressure force (self excluded)
+    # pressure force (self excluded) + viscosity over PRE-pressure velocities
+    # (spec v2, see ops/reference_step.py): one barrier applies both forces.
     new_vel = vel.copy()
     for i in range(n):
         force = np.zeros(2)
@@ -134,12 +135,7 @@ def step(pos, vel, p: Params, frame: int):
             )
             force = force + direction * pressure_term * density_kernel_derivative(d, p)
             force = force + direction * near_term * near_density_kernel_derivative(d, p)
-        new_vel[i] = vel[i] + force * p.dt
-    vel = new_vel
 
-    # viscosity (post-pressure velocities, bulk-sync)
-    new_vel = vel.copy()
-    for i in range(n):
         visc = np.zeros(2)
         for j in range(n):
             if j == i:
@@ -150,7 +146,8 @@ def step(pos, vel, p: Params, frame: int):
                 continue
             d = math.sqrt(d2)
             visc = visc + (vel[j] - vel[i]) * viscosity_kernel(d, p)
-        new_vel[i] = vel[i] + visc * p.viscosity_strength * p.dt
+
+        new_vel[i] = vel[i] + force * p.dt + visc * p.viscosity_strength * p.dt
     vel = new_vel
 
     # integrate + bounce + colour
