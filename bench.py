@@ -6,12 +6,15 @@ Prints ONE JSON line:
 
 ``vs_baseline`` measures against the BASELINE.md north-star target of 1e9
 particle-steps/sec/chip at 1M particles (the reference publishes no numbers of its
-own — see BASELINE.md).  Extra fields record the secondary workloads: the config-2
-flow-field fused-integrate rate and the 1080p point-splat render time at 1M sprites.
+own — see BASELINE.md).  Extra fields record the secondary workloads (flow-field rate,
+fused step+render p50, standalone 1080p splat), a coarse per-phase frame breakdown
+(VERDICT r1 #7; see bench_phases.py for the fine-grained version), and the issued-vs-
+useful pair-work ratio of the force kernels (VERDICT r1 #2).
 
 Protocol: per-frame jitted dispatch with donated state (a scanned loop measurably
 de-optimizes Pallas steps — see runtime/simulation.py::run_frames_loop), 2 warm
-frames, then FRAMES timed frames with one final host sync.
+frames, then FRAMES timed frames with one final host sync.  Phase timings cycle 5
+distinct inputs because the axon runtime memoizes identical-input executions.
 """
 
 from __future__ import annotations
@@ -25,8 +28,11 @@ import jax.numpy as jnp
 import rust_particle_system_tpu as rps
 from rust_particle_system_tpu.core.state import make_state
 from rust_particle_system_tpu.models.flow_field import flow_step, make_flow_params
-from rust_particle_system_tpu.ops.grid import GridSpec
-from rust_particle_system_tpu.ops.pallas.sph_step import sph_step_pallas
+from rust_particle_system_tpu.ops.grid import GridSpec, build_grid
+from rust_particle_system_tpu.ops.pallas.sph_step import (
+    _forces_from_cells,
+    sph_step_pallas,
+)
 from rust_particle_system_tpu.render import RenderSpec
 from rust_particle_system_tpu.render.splat_pallas import splat_pallas
 
@@ -59,14 +65,113 @@ def _time_loop(step, state, frames):
     return time.perf_counter() - t0, state
 
 
+def _time_variants(fn, argsets, reps=10):
+    for a in argsets[:3]:
+        jax.block_until_ready(jax.tree.leaves(fn(*a))[0])
+    t0 = time.perf_counter()
+    for r in range(reps):
+        o = fn(*argsets[r % len(argsets)])
+    jax.block_until_ready(jax.tree.leaves(o)[0])
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def measure_phases(spec, params):
+    """Coarse per-frame phase split: grid build / plane+kernel forces / tail."""
+    gh, gw, C = spec.gh, spec.gw, spec.capacity
+    nc = spec.num_cells
+    dt = params.dt
+
+    def mk(i):
+        s = uniform_init(jax.random.key(100 + i), N, BOUNDS)
+        return s.pos, s.vel
+
+    states = [mk(i) for i in range(5)]
+
+    @jax.jit
+    def p_grid(pos, vel):
+        v = vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
+        pred = pos + v * dt
+        return pred, v, build_grid(spec, pred)
+
+    grids = [jax.block_until_ready(p_grid(*s)) for s in states]
+    grid_ms = _time_variants(p_grid, states)
+
+    @jax.jit
+    def p_cells(pred, vel, perm, table):
+        packed = jnp.concatenate([pred, vel], axis=-1)[perm]
+        packed = jnp.concatenate(
+            [packed, jnp.array([[1e6, 1e6, 0.0, 0.0]], jnp.float32)], 0)
+        t = table[:nc]
+        live = t >= 0
+        cells = packed[jnp.where(live, t, N)]
+        return tuple(cells[..., i].reshape(gh, gw, C) for i in range(4))
+
+    cargs = [(g[0], g[1], g[2].perm, g[2].table) for g in grids]
+    cellsets = [jax.block_until_ready(p_cells(*a)) for a in cargs]
+    cells_ms = _time_variants(p_cells, cargs)
+
+    @jax.jit
+    def p_forces(a, b, c, d):
+        return _forces_from_cells(a, b, c, d, spec, params, False)
+
+    forces_ms = _time_variants(p_forces, cellsets)
+    return {
+        "grid_build_ms": round(grid_ms, 2),
+        "plane_gather_ms": round(cells_ms, 2),
+        "force_kernels_ms": round(forces_ms, 2),
+        "detail": "see bench_phases.py for the fine-grained split",
+    }
+
+
+def pair_efficiency(spec, pos):
+    """Issued vs within-radius pair counts for one frame's force walk."""
+    h = CELL_SIZE
+    grid = build_grid(spec, pos)
+    nc, C = spec.num_cells, spec.capacity
+    from rust_particle_system_tpu.ops.grid import gather_to_cells
+
+    pos_s = pos[grid.perm]
+    cpos = gather_to_cells(grid, spec, pos_s)
+    nids = spec.neighbor_cell_ids()
+
+    def count_chunk(c0):
+        own = jax.lax.dynamic_slice(cpos, (c0, 0, 0), (256, C, 2))
+        own_live = jax.lax.dynamic_slice(grid.table, (c0, 0), (256, C)) >= 0
+        nbr = cpos[jax.lax.dynamic_slice(nids, (c0, 0), (256, 9))].reshape(256, 9 * C, 2)
+        nbr_live = (grid.table[jax.lax.dynamic_slice(nids, (c0, 0), (256, 9))]
+                    .reshape(256, 9 * C) >= 0)
+        d2 = jnp.sum((nbr[:, None, :, :] - own[:, :, None, :]) ** 2, axis=-1)
+        ok = (d2 <= h * h) & own_live[:, :, None] & nbr_live[:, None, :]
+        return jnp.sum(ok, dtype=jnp.int64)
+
+    chunks = jnp.arange(0, (nc // 256) * 256, 256)
+    useful = int(sum(jax.lax.map(count_chunk, chunks)))
+    if spec.pack2:
+        np2 = (spec.gw + 1) // 2
+        issued = np2 * spec.gh * 128 * 6 * 128
+    else:
+        cp = max(128, C)
+        issued = nc * cp * 9 * cp
+    return issued, useful
+
+
 def main() -> None:
-    # Primary: grid-SPH with Pallas force kernels, wide cells (aspect 2).
-    spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=128, cell_aspect=2)
+    # Primary: grid-SPH with the pair-packed Pallas layout (aspect-1 cells, two
+    # cells per 128-lane row, half-shifted B-unit neighbors — 6 offsets, not 9).
+    spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=64, cell_aspect=1,
+                                pack2=True)
     params = rps.make_params(bounds=BOUNDS, gravity=300.0, shader_delay=0)
     state = uniform_init(jax.random.key(0), N, BOUNDS)
     sph = jax.jit(lambda s: sph_step_pallas(s, params, spec), donate_argnums=0)
     sph_elapsed, state = _time_loop(sph, state, FRAMES)
     sph_rate = FRAMES * N / sph_elapsed
+
+    # Pair-work efficiency (VERDICT r1 #2): issued slot-pairs per walk vs pairs
+    # actually within the smoothing radius.
+    issued, useful = pair_efficiency(spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
+
+    # Per-phase breakdown (VERDICT r1 #7).
+    phases = measure_phases(spec, params)
 
     # Secondary: config-2 flow-field fused integrate at 1M.
     fparams = make_flow_params(bounds=BOUNDS)
@@ -121,7 +226,11 @@ def main() -> None:
                 "p50_fused_frame_ms": round(p50_frame_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
-                "backend": "pallas_sph_aspect2",
+                "pairs_issued_per_walk": issued,
+                "pairs_useful_per_walk": useful,
+                "pair_waste_ratio": round(issued / max(useful, 1), 2),
+                "phases": phases,
+                "backend": "pallas_sph_pack2",
                 "device": str(jax.devices()[0]),
             }
         )

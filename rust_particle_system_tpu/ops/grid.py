@@ -57,6 +57,10 @@ class GridSpec:
     gh: int  # grid height in cells
     capacity: int  # max particles per cell
     cell_w: float = 0.0  # cell width; 0 means "== cell_size"
+    # Pair-packed Pallas layout: two adjacent cells' slots share one 128-lane row
+    # (requires capacity <= 64).  Cuts kernel pair work 1.5x via exact half-cell
+    # neighbor coverage; see ops/pallas/sph.py.  Only the Pallas step consumes it.
+    pack2: bool = False
 
     @property
     def cell_width(self) -> float:
@@ -64,13 +68,16 @@ class GridSpec:
 
     @classmethod
     def from_bounds(cls, bounds, cell_size: float, capacity: int,
-                    cell_aspect: int = 1) -> "GridSpec":
+                    cell_aspect: int = 1, pack2: bool = False) -> "GridSpec":
         """``cell_aspect`` widens cells in x by that integer factor (capacity is the
-        per-cell cap for the widened cells — scale it with the aspect)."""
+        per-cell cap for the widened cells — scale it with the aspect).  ``pack2``
+        selects the pair-packed Pallas kernel layout (capacity <= 64 required)."""
         x_min, x_max, y_min, y_max = [float(b) for b in bounds]
         cell_w = cell_size * cell_aspect
         gw = int(math.floor((x_max - x_min) / cell_w)) + 1
         gh = int(math.floor((y_max - y_min) / cell_size)) + 1
+        if pack2 and capacity > 64:
+            raise ValueError("pack2 layout requires capacity <= 64")
         return cls(
             x_min=x_min,
             y_min=y_min,
@@ -79,6 +86,7 @@ class GridSpec:
             gh=gh,
             capacity=int(capacity),
             cell_w=float(cell_w) if cell_aspect != 1 else 0.0,
+            pack2=bool(pack2),
         )
 
     @property

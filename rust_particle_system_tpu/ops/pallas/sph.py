@@ -85,13 +85,19 @@ def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
 
 
 def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
-                     n_out: int, tc: int, seg: int, finalize=None):
+                     n_out: int, tc: int, seg: int, finalize=None, n_dx: int = 3):
     """Build a kernel: one (grid row, column segment) per program.
 
     Inputs arrive as ``n_channels * 3`` halo slabs ``[1, 1, seg+2, CP]`` (each
     channel's rows r-1, r, r+1 of the program's segment, halo columns included),
     followed by ``n_own`` own-only slabs ``[1, 1, seg, CP]`` (row r, no halo —
     channels consumed only on the own side of a pair).
+
+    ``n_dx`` is the column-offset count: 3 for the classic one-cell-per-lane-row
+    layout (own from the halo channels' center slab), 2 for the PAIR-PACKED layout,
+    where each lane row holds two adjacent cells' slots, the halo channels carry the
+    half-shifted neighbor ("B") planes, and own values come exclusively from the
+    own-only slabs (see ``_pack_pairs``/``force_planes``).
 
     ``pair_update(scal, own, nbrs, accs) -> accs`` folds one (tile, offset) pairwise
     block into the accumulators:
@@ -110,21 +116,27 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
 
         def tile_body(t, _):
             c0 = t * tc
-            own = tuple(
-                ins[ch * 3 + 1][0, 0, pl.ds(c0 + 1, tc), :]
-                for ch in range(n_channels)
-            ) + tuple(
-                own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own)
-            )
+            own = (
+                tuple(
+                    ins[ch * 3 + 1][0, 0, pl.ds(c0 + 1, tc), :]
+                    for ch in range(n_channels)
+                )
+                if n_dx == 3
+                else ()
+            ) + tuple(own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own))
             accs = tuple(
                 jnp.zeros((tc, own[0].shape[-1]), jnp.float32) for _ in range(n_acc)
             )
-            for dy, dx in _offsets():
-                nbrs = tuple(
-                    ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
-                    for ch in range(n_channels)
-                )
-                accs = pair_update(scal_ref, own, nbrs, accs)
+            # n_dx=3: dx in {0,1,2} = cells c-1,c,c+1.  n_dx=2 (pair-packed): the
+            # halo planes are B-units (cells 2p-1,2p at padded index p+1), so own
+            # pair p reads B[p], B[p+1] at window offsets {1, 2}.
+            for dy in range(3):
+                for dx in range(3 - n_dx, 3):
+                    nbrs = tuple(
+                        ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
+                        for ch in range(n_channels)
+                    )
+                    accs = pair_update(scal_ref, own, nbrs, accs)
             res = finalize(scal_ref, own, accs) if finalize is not None else accs
             for o, r in zip(outs, res):
                 o[0, 0, pl.ds(c0, tc), :] = r
@@ -276,8 +288,53 @@ def _own_plane(x, gh, gw, wt, fill, cp):
     return out.at[:, :gw, : x.shape[-1]].set(x.astype(jnp.float32))
 
 
+# --------------------------------------------------------------------------------------
+# Pair-packed ("2 cells per lane row") layout.
+#
+# With aspect-1 cells (cell width == smoothing radius h) and capacity <= 64, two
+# adjacent cells' slots share one 128-lane row: A-unit p = cells (2p, 2p+1).  The
+# neighbor set of the own pair {2p, 2p+1} is cells 2p-2..2p+3 minus the corners —
+# but the half-shifted B-units (B[q] = cells (2q-1, 2q)) cover it EXACTLY with two
+# blocks: B[p] ∪ B[p+1] = cells 2p-1..2p+2 ⊇ every in-radius cell, and the two
+# extra cells (2p-1 for own 2p+1, 2p+2 for own 2p) are >= h away so all weights
+# vanish by the radius masking — no extra masking needed.  Per own slot this is
+# 3 x 2 x 128 = 768 candidates instead of the classic 9 x 128 = 1152 (1.5x fewer),
+# at identical plane shapes/memory.
+# --------------------------------------------------------------------------------------
+
+def _pack_a(x, fill):
+    """[gh, gw, C] -> A-units [gh, ceil(gw/2), 2C]; odd gw padded with a fill cell."""
+    gh, gw, C = x.shape
+    if gw % 2:
+        x = jnp.concatenate([x, jnp.full((gh, 1, C), fill, x.dtype)], axis=1)
+        gw += 1
+    return x.reshape(gh, gw // 2, 2 * C)
+
+
+def _pack_b(x, fill):
+    """[gh, gw, C] -> B-units [gh, ceil(gw/2) + 1, 2C]: B[q] = cells (2q-1, 2q).
+
+    B[0] starts with an out-of-grid fill cell; B[np2] ends with one (or covers the
+    odd-gw pad cell).  Built from the lane-flattened A stream shifted by one cell."""
+    gh, gw, C = x.shape
+    if gw % 2:
+        x = jnp.concatenate([x, jnp.full((gh, 1, C), fill, x.dtype)], axis=1)
+        gw += 1
+    flat = x.reshape(gh, gw * C)
+    fill_cell = jnp.full((gh, C), fill, x.dtype)
+    shifted = jnp.concatenate([fill_cell, flat, fill_cell], axis=1)
+    return shifted.reshape(gh, gw // 2 + 1, 2 * C)
+
+
+def unpack_pairs(x, gw, C):
+    """[gh, wt2, 2C] packed kernel output -> [gh, gw, C]."""
+    gh = x.shape[0]
+    u = x.reshape(gh, -1, C)  # [gh, 2*wt2, C]
+    return u[:, :gw, :]
+
+
 def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
-                interpret, finalize=None):
+                interpret, finalize=None, n_dx=3):
     """Shared pallas_call over width-segmented planes.
 
     Each padded halo plane [gh+2, wt+2, CP] is re-laid out as
@@ -289,7 +346,7 @@ def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
     seg = _seg_width(wt, tc)
     nseg = wt // seg
     kernel = _make_seg_kernel(update, len(planes), len(own_planes), n_acc, n_out,
-                              tc, seg, finalize)
+                              tc, seg, finalize, n_dx=n_dx)
 
     def segmented(p):
         return jnp.stack(
@@ -351,34 +408,41 @@ def plane_geometry(gw: int, capacity: int):
     return cp, tc, wt
 
 
-def density_planes(ppx, ppy, params, interpret: bool):
+def density_planes(ppx, ppy, params, interpret: bool, own_planes=(), n_dx=3):
     """Density pass over pre-padded position planes [rows+2, wt+2, CP].
 
-    Returns (rho, rhon) [rows, wt, CP] — true densities (norms applied)."""
+    Classic layout (n_dx=3): own positions come from the halo planes' center slabs;
+    ``own_planes`` empty.  Pair-packed layout (n_dx=2): ppx/ppy are the B-unit
+    planes and ``own_planes = [apx, apy]`` carries the A-unit own positions
+    ([rows, wt, CP], no ghosts).  Returns (rho, rhon) [rows, wt, CP] — true
+    densities (norms applied)."""
     rows = ppx.shape[0] - 2
     wt, cp = ppx.shape[1] - 2, ppx.shape[2]
     tc = _tile_cells(cp)
-    call, args = _plane_call(_density_update, [ppx, ppy], [], 2, 2, rows, wt, cp,
-                             tc, interpret)
+    call, args = _plane_call(_density_update, [ppx, ppy], list(own_planes), 2, 2,
+                             rows, wt, cp, tc, interpret, n_dx=n_dx)
     args[0] = density_scalars(params)
     s2, s3 = call(*args)
     return params.density_kernel_norm * s2, params.near_density_kernel_norm * s3
 
 
-def force_planes(ppx, ppy, pP1, pNPn, pvx, pvy, NPo, params, interpret: bool):
+def force_planes(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
+                 interpret: bool, n_dx=3):
     """Fused pressure+viscosity pass over pre-padded planes.
 
-    Halo planes [rows+2, wt+2, CP]: positions, P1, NPn, velocities; own-only plane
-    NPo is [rows, wt, CP] (kernel-output layout, no ghost border).  Returns
-    (fx, fy, fvx, fvy) [rows, wt, CP]; fvx/fvy are the raw Σ(vⱼ−vᵢ)·u³ sums — scale
-    by ``viscosity_kernel_norm * viscosity_strength`` in the velocity update.
+    Halo planes [rows+2, wt+2, CP] carry the NEIGHBOR-side channels (positions, P1,
+    NPn, velocities) — classic cell units (n_dx=3) or B-units (n_dx=2).  Own-only
+    planes ([rows, wt, CP], no ghosts): classic ``[NPo]`` (own px/py/P1/NPn/vx/vy
+    come from the halo centers); packed ``[apx, apy, aP1, aNPn, avx, avy, aNPo]``.
+    Returns (fx, fy, fvx, fvy) [rows, wt, CP]; fvx/fvy are the raw Σ(vⱼ−vᵢ)·u³
+    sums — scale by ``viscosity_kernel_norm * viscosity_strength``.
     """
     rows = ppx.shape[0] - 2
     wt, cp = ppx.shape[1] - 2, ppx.shape[2]
     tc = _tile_cells(cp)
     call, args = _plane_call(_force_update, [ppx, ppy, pP1, pNPn, pvx, pvy],
-                             [NPo], 5, 4, rows, wt, cp, tc, interpret,
-                             finalize=_force_finalize)
+                             list(own_planes), 5, 4, rows, wt, cp, tc, interpret,
+                             finalize=_force_finalize, n_dx=n_dx)
     args[0] = force_scalars(params)
     return call(*args)
 
@@ -410,7 +474,7 @@ def force_cells_pallas(px, py, vx, vy, rho, rhon, *, spec, params, interpret=Non
         _pad_plane(NPn, gh, gw, wt, 0.0, cp),
         _pad_plane(vx, gh, gw, wt, 0.0, cp),
         _pad_plane(vy, gh, gw, wt, 0.0, cp),
-        _own_plane(NPo, gh, gw, wt, 0.0, cp),
+        [_own_plane(NPo, gh, gw, wt, 0.0, cp)],
         params,
         interpret,
     )

@@ -21,11 +21,86 @@ from .sph import (
     _SENTINEL,
     _grow_plane,
     _own_plane,
+    _pack_a,
+    _pack_b,
     density_planes,
     force_planes,
     plane_geometry,
     pressure_terms,
+    unpack_pairs,
 )
+
+
+def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret):
+    """Run the two Pallas walks on [gh, gw, C] channel planes.
+
+    Returns post-force velocity planes (nvx, nvy) [gh, gw, C].  Dispatches on
+    ``spec.pack2``: the classic one-cell-per-lane-row layout, or the pair-packed
+    layout (two cells per 128-lane row + half-shifted B neighbor planes, 6 offsets
+    instead of 9 — see ops/pallas/sph.py)."""
+    gh, gw, C = pxg.shape
+    dt = params.dt
+    vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
+
+    if not spec.pack2:
+        cp, tc, wt = plane_geometry(gw, C)
+        pxw = _own_plane(pxg, gh, gw, wt, _SENTINEL, cp)
+        pyw = _own_plane(pyg, gh, gw, wt, _SENTINEL, cp)
+        vxw = _own_plane(vxg, gh, gw, wt, 0.0, cp)
+        vyw = _own_plane(vyg, gh, gw, wt, 0.0, cp)
+        ppx = _grow_plane(pxw, _SENTINEL)
+        ppy = _grow_plane(pyw, _SENTINEL)
+
+        rho, rhon = density_planes(ppx, ppy, params, interpret)
+        P1, NPo, NPn = pressure_terms(rho, rhon, params)
+        fx, fy, fvx, fvy = force_planes(
+            ppx, ppy, _grow_plane(P1, 0.0), _grow_plane(NPn, 0.0),
+            _grow_plane(vxw, 0.0), _grow_plane(vyw, 0.0), [NPo],
+            params, interpret,
+        )
+        nvx = vxw + fx * dt + fvx * vscale
+        nvy = vyw + fy * dt + fvy * vscale
+        return nvx[:, :gw, :C], nvy[:, :gw, :C]
+
+    # Pair-packed layout.
+    np2 = (gw + 1) // 2
+    cp, tc, wt2 = plane_geometry(np2, 2 * C)
+
+    def aplane(x, fill):
+        return _own_plane(_pack_a(x, fill), gh, np2, wt2, fill, cp)
+
+    def bplane(x, fill):
+        """B-units into halo layout: B[q] at padded column q+1."""
+        b = _pack_b(x, fill)  # [gh, np2+1, 2C]
+        out = jnp.full((gh + 2, wt2 + 2, cp), fill, jnp.float32)
+        return out.at[1 : gh + 1, 1 : np2 + 2, : b.shape[-1]].set(
+            b.astype(jnp.float32)
+        )
+
+    apx = aplane(pxg, _SENTINEL)
+    apy = aplane(pyg, _SENTINEL)
+    avx = aplane(vxg, 0.0)
+    avy = aplane(vyg, 0.0)
+    bpx = bplane(pxg, _SENTINEL)
+    bpy = bplane(pyg, _SENTINEL)
+
+    rho, rhon = density_planes(bpx, bpy, params, interpret,
+                               own_planes=[apx, apy], n_dx=2)
+    P1, NPo, NPn = pressure_terms(rho, rhon, params)
+    # Neighbor-side per-slot terms must be in B layout: unpack the (A-layout)
+    # kernel outputs back to cell space, then B-pack.  Pure reshapes + one
+    # shifted copy each.
+    P1u = unpack_pairs(P1, gw, C)
+    NPnu = unpack_pairs(NPn, gw, C)
+    fx, fy, fvx, fvy = force_planes(
+        bpx, bpy, bplane(P1u, 0.0), bplane(NPnu, 0.0),
+        bplane(vxg, 0.0), bplane(vyg, 0.0),
+        [apx, apy, P1, NPn, avx, avy, NPo],
+        params, interpret, n_dx=2,
+    )
+    nvx = avx + fx * dt + fvx * vscale
+    nvy = avy + fy * dt + fvy * vscale
+    return unpack_pairs(nvx, gw, C), unpack_pairs(nvy, gw, C)
 
 
 def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
@@ -44,7 +119,6 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
         interpret = jax.default_backend() not in ("tpu", "axon")
     gh, gw, C = spec.gh, spec.gw, spec.capacity
     nc = spec.num_cells
-    cp, tc, wt = plane_geometry(gw, C)
     dt = params.dt
 
     vel = state.vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
@@ -64,30 +138,17 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     live = table >= 0
     cells = packed[jnp.where(live, table, n)]  # [nc, C, 4]
 
-    # Own-layout planes [gh, wt, CP] (lane/tile padded), built once per frame.
-    pxw = _own_plane(cells[..., 0].reshape(gh, gw, C), gh, gw, wt, _SENTINEL, cp)
-    pyw = _own_plane(cells[..., 1].reshape(gh, gw, C), gh, gw, wt, _SENTINEL, cp)
-    vxw = _own_plane(cells[..., 2].reshape(gh, gw, C), gh, gw, wt, 0.0, cp)
-    vyw = _own_plane(cells[..., 3].reshape(gh, gw, C), gh, gw, wt, 0.0, cp)
-    ppx = _grow_plane(pxw, _SENTINEL)
-    ppy = _grow_plane(pyw, _SENTINEL)
+    pxg = cells[..., 0].reshape(gh, gw, C)
+    pyg = cells[..., 1].reshape(gh, gw, C)
+    vxg = cells[..., 2].reshape(gh, gw, C)
+    vyg = cells[..., 3].reshape(gh, gw, C)
 
-    # Pass 1: density.
-    rho, rhon = density_planes(ppx, ppy, params, interpret)
-
-    # Pass 2: fused pressure + viscosity (pre-pressure velocities, spec v2).
-    P1, NPo, NPn = pressure_terms(rho, rhon, params)
-    fx, fy, fvx, fvy = force_planes(
-        ppx, ppy, _grow_plane(P1, 0.0), _grow_plane(NPn, 0.0),
-        _grow_plane(vxw, 0.0), _grow_plane(vyw, 0.0), NPo, params, interpret,
-    )
-    vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
-    nvx = vxw + fx * dt + fvx * vscale
-    nvy = vyw + fy * dt + fvy * vscale
+    # The two Pallas walks (density, fused pressure+viscosity — spec v2).
+    nvx, nvy = _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret)
 
     # Packed final pull-back: one [n]-row gather of (vx, vy) pairs.
     vplane = jnp.stack(
-        [nvx[:, :gw, :C].reshape(nc, C), nvy[:, :gw, :C].reshape(nc, C)], axis=-1
+        [nvx.reshape(nc, C), nvy.reshape(nc, C)], axis=-1
     )
     s = jnp.minimum(grid.slot, C - 1)
     pulled = vplane[grid.sorted_keys, s]  # [n, 2], sorted order
@@ -105,13 +166,11 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
 
     # End-of-frame planes for the fused renderer: final position = predicted +
     # (v_final − v_predicted)·dt, then the same bounce, all elementwise in plane
-    # space ([gh, gw, C] views of the padded planes).
-    px, py = pxw[:, :gw, :C], pyw[:, :gw, :C]
-    vx1, vy1 = nvx[:, :gw, :C], nvy[:, :gw, :C]
-    fx_plane = px + (vx1 - vxw[:, :gw, :C]) * dt
-    fy_plane = py + (vy1 - vyw[:, :gw, :C]) * dt
+    # space.
+    fx_plane = pxg + (nvx - vxg) * dt
+    fy_plane = pyg + (nvy - vyg) * dt
     plane_pos = jnp.stack([fx_plane, fy_plane], axis=-1)
-    plane_vel = jnp.stack([vx1, vy1], axis=-1)
+    plane_vel = jnp.stack([nvx, nvy], axis=-1)
     plane_pos, plane_vel = K.bounce_bounds(
         plane_pos, plane_vel, params.bounds, params.damping_factor
     )

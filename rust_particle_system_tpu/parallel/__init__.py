@@ -2,6 +2,7 @@ from .composite import make_sharded_render
 from .mesh import make_band_mesh
 from .shard import (
     ShardSpec,
+    migration_rounds_for_speed,
     ShardedState,
     band_of_positions,
     make_shard_spec,
@@ -9,10 +10,12 @@ from .shard import (
     state_sharding,
     unshard_state,
 )
-from .sharded_step import make_sharded_step
+from .sharded_step import check_diags, make_sharded_step
 
 __all__ = [
     "ShardSpec",
+    "check_diags",
+    "migration_rounds_for_speed",
     "ShardedState",
     "band_of_positions",
     "make_band_mesh",

@@ -35,6 +35,12 @@ class ShardSpec:
     rows_per_band: int
     cap: int  # particle slots per band
     mig_cap: int  # migration buffer slots per direction per step
+    # Migration exchange rounds per frame.  Each round moves a particle at most one
+    # band toward its home; K rounds handle crossings of up to K bands/frame.  Pick
+    # via :func:`migration_rounds_for_speed` — after the rounds, any particle still
+    # outside its home band counts in the ``band_violations`` diagnostic (check it
+    # with :func:`rust_particle_system_tpu.parallel.check_diags`).
+    mig_rounds: int = 1
 
     @property
     def local_cells(self) -> int:
@@ -43,6 +49,19 @@ class ShardSpec:
     @property
     def total_slots(self) -> int:
         return self.n_bands * self.cap
+
+    @property
+    def band_height(self) -> float:
+        return self.rows_per_band * self.grid.cell_size
+
+
+def migration_rounds_for_speed(band_height: float, max_speed: float, dt: float) -> int:
+    """Exchange rounds needed so particles at ``max_speed`` never out-run migration.
+
+    The CFL-style bound: a particle crosses at most ``ceil(max_speed*dt /
+    band_height)`` bands per frame; that many ±1-band rounds provably reach the home
+    band, making ``band_violations > 0`` impossible below ``max_speed``."""
+    return max(1, int(math.ceil((max_speed * dt) / band_height)))
 
 
 def make_shard_spec(
@@ -54,8 +73,15 @@ def make_shard_spec(
     slack: float = 2.0,
     mig_frac: float = 0.25,
     capacity_safety: float = 16.0,
+    max_speed: float | None = None,
+    dt: float = 0.01,
+    mig_rounds: int | None = None,
 ) -> ShardSpec:
-    """Build a ShardSpec; pads the grid height so bands divide it evenly."""
+    """Build a ShardSpec; pads the grid height so bands divide it evenly.
+
+    Pass ``max_speed`` (expected top particle speed) to size the per-frame
+    migration exchange rounds so fast particles can never out-run their band
+    (the CFL-style guard); or set ``mig_rounds`` explicitly."""
     if capacity is None:
         capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
     base = GridSpec.from_bounds(bounds, cell_size, capacity)
@@ -65,8 +91,16 @@ def make_shard_spec(
     cap = int(math.ceil(n / n_bands * slack))
     cap = (cap + 7) // 8 * 8
     mig_cap = max(64, int(cap * mig_frac))
+    if mig_rounds is None:
+        band_height = rows_per_band * float(cell_size)
+        mig_rounds = (
+            migration_rounds_for_speed(band_height, max_speed, dt)
+            if max_speed is not None
+            else 1
+        )
     return ShardSpec(
-        grid=grid, n_bands=n_bands, rows_per_band=rows_per_band, cap=cap, mig_cap=mig_cap
+        grid=grid, n_bands=n_bands, rows_per_band=rows_per_band, cap=cap,
+        mig_cap=mig_cap, mig_rounds=int(mig_rounds),
     )
 
 

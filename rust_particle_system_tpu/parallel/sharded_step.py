@@ -147,30 +147,48 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
     vel = vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
     pred = pos + vel * dt
 
-    # 2. migration by predicted band
-    cy = jnp.clip(
-        jnp.floor((pred[:, 1] - g.y_min) / g.cell_size).astype(jnp.int32), 0, g.gh - 1
-    )
-    target_band = cy // R
-    clamped = jnp.clip(target_band, band - 1, band + 1)
-    violations = jnp.sum(valid & (target_band != clamped))
-    go_up = valid & (clamped == band + 1)
-    go_down = valid & (clamped == band - 1)
-
+    # 2. migration by predicted band — ``spec.mig_rounds`` chained ±1-band exchange
+    # rounds, so particles crossing up to mig_rounds bands per frame reach their
+    # home band (size rounds via make_shard_spec(max_speed=...), the CFL guard).
+    # Any particle STILL outside its band afterwards counts in band_violations —
+    # drivers must treat that as an error (parallel.check_diags).
+    send_drop = jnp.asarray(0, jnp.int32)
+    recv_drop = jnp.asarray(0, jnp.int32)
     payload = jnp.concatenate([pos, vel, color], axis=-1)  # [cap, 8]
-    up_buf, up_valid, up_drop = pack_rows(payload, go_up, spec.mig_cap)
-    dn_buf, dn_valid, dn_drop = pack_rows(payload, go_down, spec.mig_cap)
+    for _ in range(spec.mig_rounds):
+        pred_y = payload[:, 1] + payload[:, 3] * dt
+        cy = jnp.clip(
+            jnp.floor((pred_y - g.y_min) / g.cell_size).astype(jnp.int32),
+            0, g.gh - 1,
+        )
+        target_band = cy // R
+        clamped = jnp.clip(target_band, band - 1, band + 1)
+        go_up = valid & (clamped == band + 1)
+        go_down = valid & (clamped == band - 1)
 
-    recv_lo = jax.lax.ppermute(up_buf, axis, _perm_up(D))
-    recv_lo_valid = jax.lax.ppermute(up_valid, axis, _perm_up(D))
-    recv_hi = jax.lax.ppermute(dn_buf, axis, _perm_down(D))
-    recv_hi_valid = jax.lax.ppermute(dn_valid, axis, _perm_down(D))
+        up_buf, up_valid, up_drop = pack_rows(payload, go_up, spec.mig_cap)
+        dn_buf, dn_valid, dn_drop = pack_rows(payload, go_down, spec.mig_cap)
 
-    valid = valid & ~(go_up | go_down)
-    payload, valid, drop_a = insert_rows(payload, valid, recv_lo, recv_lo_valid)
-    payload, valid, drop_b = insert_rows(payload, valid, recv_hi, recv_hi_valid)
+        recv_lo = jax.lax.ppermute(up_buf, axis, _perm_up(D))
+        recv_lo_valid = jax.lax.ppermute(up_valid, axis, _perm_up(D))
+        recv_hi = jax.lax.ppermute(dn_buf, axis, _perm_down(D))
+        recv_hi_valid = jax.lax.ppermute(dn_valid, axis, _perm_down(D))
+
+        valid = valid & ~(go_up | go_down)
+        payload, valid, drop_a = insert_rows(payload, valid, recv_lo, recv_lo_valid)
+        payload, valid, drop_b = insert_rows(payload, valid, recv_hi, recv_hi_valid)
+        send_drop = send_drop + up_drop + dn_drop
+        recv_drop = recv_drop + drop_a + drop_b
+
     pos, vel, color = payload[:, 0:2], payload[:, 2:4], payload[:, 4:8]
     pred = pos + vel * dt  # includes received particles
+
+    # violations: particles whose home band is still elsewhere after all rounds
+    cy_fin = jnp.clip(
+        jnp.floor((pred[:, 1] - g.y_min) / g.cell_size).astype(jnp.int32),
+        0, g.gh - 1,
+    )
+    violations = jnp.sum(valid & (cy_fin // R != band))
 
     # 3. local binning (keys relative to the band's cell rows)
     cx = jnp.clip(
@@ -253,7 +271,7 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
 
     # 7. fused pressure + viscosity (Pallas) -> plane-space velocity update
     fpx, fpy, fvx, fvy = force_planes(
-        ppx, ppy, ppt, pnpn, pvx, pvy, wnpo, params, interpret
+        ppx, ppy, ppt, pnpn, pvx, pvy, [wnpo], params, interpret
     )
     vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
     vx = cells[..., 2].reshape(R, gw, C) + fpx[:, :gw, :C] * dt \
@@ -280,13 +298,46 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
     new_color = jnp.where(valid[:, None], new_color, 0.0)
 
     diags = {
-        "migration_send_dropped": jax.lax.psum(up_drop + dn_drop, axis),
-        "migration_recv_dropped": jax.lax.psum(drop_a + drop_b, axis),
+        "migration_send_dropped": jax.lax.psum(send_drop, axis),
+        "migration_recv_dropped": jax.lax.psum(recv_drop, axis),
         "band_violations": jax.lax.psum(violations, axis),
         "grid_overflow": jax.lax.psum(grid_overflow, axis),
         "live_particles": jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), axis),
     }
     return new_pos, new_vel, new_color, valid, diags
+
+
+def check_diags(diags, expect_particles: int | None = None) -> dict:
+    """Host-side guard over a step's psum'd diagnostics.  Raises ValueError.
+
+    The multi-chip analog of runtime/debug.py's validators: band violations
+    (a particle out-ran ``spec.mig_rounds`` migration rounds — raise mig_rounds or
+    pass ``max_speed`` to make_shard_spec), migration buffer drops, and (optionally)
+    particle conservation are hard errors, never silent.  Grid overflow is returned
+    but not raised on (overflowing cells only lose force contributions, matching
+    the single-chip semantics — monitor it).
+    """
+    vals = {k: int(v) for k, v in diags.items()}
+    if vals.get("band_violations", 0) > 0:
+        raise ValueError(
+            f"{vals['band_violations']} particle(s) crossed more bands than "
+            f"spec.mig_rounds allows in one frame — raise mig_rounds (or pass "
+            f"max_speed to make_shard_spec) so migration provably keeps up"
+        )
+    dropped = vals.get("migration_send_dropped", 0) + vals.get(
+        "migration_recv_dropped", 0
+    )
+    if dropped > 0:
+        raise ValueError(
+            f"{dropped} migrating particle(s) dropped by full buffers — raise "
+            f"mig_cap/slack in make_shard_spec"
+        )
+    if expect_particles is not None and vals.get("live_particles") != expect_particles:
+        raise ValueError(
+            f"particle count changed: {vals.get('live_particles')} != "
+            f"{expect_particles} (conservation violated)"
+        )
+    return vals
 
 
 def zero_diags():

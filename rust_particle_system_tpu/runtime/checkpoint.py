@@ -44,8 +44,24 @@ def load(path: str, state_like, params_like=None):
     """
     with np.load(path) as data:
         def restore(prefix, like):
-            names = list(_flatten_with_names(like).keys())
-            leaves = [data[f"{prefix}/{n}"] for n in names]
+            examples = _flatten_with_names(like)
+            leaves = []
+            for name, example in examples.items():
+                key = f"{prefix}/{name}"
+                if key not in data:
+                    raise ValueError(
+                        f"checkpoint {path!r} has no leaf {key!r} — was it saved "
+                        f"with a different state/params type?"
+                    )
+                leaf = data[key]
+                if leaf.shape != example.shape or leaf.dtype != example.dtype:
+                    raise ValueError(
+                        f"checkpoint leaf {key!r} is {leaf.dtype}{list(leaf.shape)} "
+                        f"but the running simulation expects "
+                        f"{example.dtype}{list(example.shape)} — resume with the "
+                        f"same --n / state type it was saved with"
+                    )
+                leaves.append(leaf)
             treedef = jax.tree_util.tree_structure(like)
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -53,3 +69,9 @@ def load(path: str, state_like, params_like=None):
         if params_like is None:
             return state
         return state, restore("params", params_like)
+
+
+def has_params(path: str) -> bool:
+    """True if the checkpoint at ``path`` carries a saved params pytree."""
+    with np.load(path) as data:
+        return any(k.startswith("params/") for k in data.files)

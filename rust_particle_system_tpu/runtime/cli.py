@@ -54,16 +54,25 @@ def main(argv=None) -> int:
     model = build_model(args.model, args.n, args.backend)
     sim = Simulation(model, n=args.n, seed=args.seed)
 
+    # Resume FIRST (restoring the saved physics params when the checkpoint carries
+    # them), then apply explicit --set overrides on top, so a resumed run keeps the
+    # physics it was saved with unless the user says otherwise.
+    if args.resume:
+        if checkpoint.has_params(args.resume):
+            sim.state, sim.params = checkpoint.load(args.resume, sim.state, sim.params)
+            print(f"resumed from {args.resume} at frame {int(sim.state.frame)} "
+                  f"(params restored)")
+        else:
+            sim.state = checkpoint.load(args.resume, sim.state)
+            print(f"resumed from {args.resume} at frame {int(sim.state.frame)} "
+                  f"(no params in checkpoint — using defaults)")
+
     overrides = {}
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = float(v)
     if overrides:
         sim.update_params(**overrides)
-
-    if args.resume:
-        sim.state = checkpoint.load(args.resume, sim.state)
-        print(f"resumed from {args.resume} at frame {int(sim.state.frame)}")
 
     done = 0
     t_start = time.perf_counter()

@@ -19,26 +19,36 @@ from ..core.state import ParticleState
 from ..ops.grid import Grid, GridSpec, build_grid
 
 
+def _require(cond: bool, message: str) -> None:
+    """Raise ValueError on violation.
+
+    Explicit raise (not ``assert``): these validators back the documented always-on
+    guarantees of Simulation.stats()/CLI --stats, which must survive ``python -O``.
+    """
+    if not cond:
+        raise ValueError(message)
+
+
 def validate_grid(grid: Grid, spec: GridSpec, n: int) -> dict:
     """Check the neighbor structure's invariants (debug.rs:166-175 made strict).
 
-    Returns occupancy stats.  Raises AssertionError on violation.
+    Returns occupancy stats.  Raises ValueError on violation.
     """
     sorted_keys = np.asarray(grid.sorted_keys)
     perm = np.asarray(grid.perm)
     starts = np.asarray(grid.starts)
     table = np.asarray(grid.table)
 
-    assert np.all(np.diff(sorted_keys) >= 0), "spatial lookup not sorted"
-    assert np.array_equal(np.sort(perm), np.arange(n)), "perm is not a permutation"
-    assert np.all((starts[:-1] <= starts[1:])), "run starts not monotone"
-    assert np.all(table[-1] == -1), "padding row not empty"
+    _require(bool(np.all(np.diff(sorted_keys) >= 0)), "spatial lookup not sorted")
+    _require(np.array_equal(np.sort(perm), np.arange(n)), "perm is not a permutation")
+    _require(bool(np.all(starts[:-1] <= starts[1:])), "run starts not monotone")
+    _require(bool(np.all(table[-1] == -1)), "padding row not empty")
 
     live = table >= 0
     counts = live.sum(axis=1)[:-1]
     overflow = int(np.asarray(grid.overflow))
     # front-packed: within every row, no live slot may follow an empty one
-    assert np.all(live[:, 1:] <= live[:, :-1]), "slots not packed front-first"
+    _require(bool(np.all(live[:, 1:] <= live[:, :-1])), "slots not packed front-first")
     return {
         "cells_used": int((counts > 0).sum()),
         "max_occupancy": int(counts.max()) if counts.size else 0,
@@ -48,17 +58,19 @@ def validate_grid(grid: Grid, spec: GridSpec, n: int) -> dict:
 
 
 def validate_state(state: ParticleState, params: SimParams) -> dict:
-    """Invariant check on a state: finite, inside bounds.  Raises on violation."""
+    """Invariant check on a state: finite, inside bounds.  Raises ValueError."""
     pos = np.asarray(state.pos)
     vel = np.asarray(state.vel)
     b = np.asarray(params.bounds)
-    assert np.all(np.isfinite(pos)), "non-finite positions"
-    assert np.all(np.isfinite(vel)), "non-finite velocities"
-    assert pos[:, 0].min() >= b[0] - 1e-4 and pos[:, 0].max() <= b[1] + 1e-4, (
-        "positions outside x bounds"
+    _require(bool(np.all(np.isfinite(pos))), "non-finite positions")
+    _require(bool(np.all(np.isfinite(vel))), "non-finite velocities")
+    _require(
+        bool(pos[:, 0].min() >= b[0] - 1e-4 and pos[:, 0].max() <= b[1] + 1e-4),
+        "positions outside x bounds",
     )
-    assert pos[:, 1].min() >= b[2] - 1e-4 and pos[:, 1].max() <= b[3] + 1e-4, (
-        "positions outside y bounds"
+    _require(
+        bool(pos[:, 1].min() >= b[2] - 1e-4 and pos[:, 1].max() <= b[3] + 1e-4),
+        "positions outside y bounds",
     )
     speed = np.linalg.norm(vel, axis=1)
     return {

@@ -130,8 +130,20 @@ class Simulation:
     def stats(self) -> dict:
         """Validate the current state and return summary statistics.
 
-        Raises on violated invariants (non-finite values, out-of-bounds positions) —
-        the always-on version of the reference's disabled debug readbacks."""
-        from .debug import validate_state
+        Raises ValueError on violated invariants (non-finite values, out-of-bounds
+        positions) — the always-on version of the reference's disabled debug
+        readbacks.  For grid-backed models, also reports cell occupancy and the
+        CURRENT state's capacity overflow (particles beyond a cell's slot budget
+        exert/receive no grid forces — a nonzero value here means the grid capacity
+        should be raised)."""
+        from .debug import validate_grid, validate_state
 
-        return validate_state(self.state, self.params)
+        out = validate_state(self.state, self.params)
+        grid_spec = getattr(self.model, "grid", None)
+        if grid_spec is not None:
+            from ..ops.grid import build_grid
+
+            grid = build_grid(grid_spec, self.state.pos)
+            gstats = validate_grid(grid, grid_spec, self.n)
+            out.update({f"grid_{k}": v for k, v in gstats.items()})
+        return out

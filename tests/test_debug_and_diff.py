@@ -36,7 +36,7 @@ def test_validate_state_detects_nan():
     params = make_params(bounds=BOUNDS)
     state = make_state(np.zeros((4, 2), np.float32))
     bad = state._replace(pos=state.pos.at[0, 0].set(jnp.nan))
-    with pytest.raises(AssertionError, match="non-finite"):
+    with pytest.raises(ValueError, match="non-finite"):
         validate_state(bad, params)
     # good state passes and reports
     stats = validate_state(state, params)

@@ -79,3 +79,42 @@ def test_pallas_step_warmup_identity(rng):
         s = sph_step_pallas(s, params, spec)
     np.testing.assert_array_equal(np.asarray(s.pos), pos)
     assert int(s.frame) == 2
+
+
+def test_pallas_pack2_matches_grid_step(rng):
+    """Pair-packed layout (two cells per lane row, B-unit neighbors) parity."""
+    n = 400
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=100.0, shader_delay=0)
+    spec_ref = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=64)
+    spec_pk = GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=64, pack2=True)
+    state = make_state(pos, vel)
+
+    want = state
+    got = state
+    for _ in range(3):
+        want = grid_step(want, params, spec_ref)
+        got = sph_step_pallas(got, params, spec_pk)
+
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), rtol=1e-3, atol=1e-2)
+
+
+def test_pallas_pack2_odd_grid_width(rng):
+    """Odd cell-column counts pad a dead cell into the last A/B unit."""
+    bounds = (-95.0, 95.0, -50.0, 50.0)  # gw = floor(190/9)+1 = 22 -> try 9.5 for odd
+    n = 200
+    x_min, x_max, y_min, y_max = bounds
+    pos = np.stack(
+        [rng.uniform(x_min, x_max, n), rng.uniform(y_min, y_max, n)], axis=-1
+    ).astype(np.float32)
+    params = make_params(bounds=bounds, gravity=50.0, shader_delay=0,
+                         smoothing_radius=9.5)
+    spec_ref = GridSpec.from_bounds(bounds, cell_size=9.5, capacity=64)
+    spec_pk = GridSpec.from_bounds(bounds, cell_size=9.5, capacity=64, pack2=True)
+    assert spec_pk.gw % 2 == 1, "test intends an odd grid width"
+    state = make_state(pos)
+    want = grid_step(state, params, spec_ref)
+    got = sph_step_pallas(state, params, spec_pk)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), rtol=1e-3, atol=1e-2)

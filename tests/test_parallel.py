@@ -182,3 +182,46 @@ def test_sharded_step_warmup_identity(rng):
         sstate, _ = step(sstate, params)
     np.testing.assert_array_equal(np.asarray(sstate.pos), p0)
     assert int(sstate.frame) == 2
+
+
+def test_fast_particle_migration_rounds(rng):
+    """A particle crossing >1 band/frame: 1 round -> raising violation; enough
+    rounds (CFL guard) -> clean migration and conservation (VERDICT r1 #8)."""
+    from rust_particle_system_tpu.parallel import (
+        check_diags,
+        migration_rounds_for_speed,
+    )
+
+    n_bands = 4
+    n = 40
+    x_min, x_max, y_min, y_max = BOUNDS
+    pos = np.stack(
+        [rng.uniform(x_min, x_max, n), np.full(n, y_min + 5.0)], axis=-1
+    ).astype(np.float32)
+    vel = np.zeros((n, 2), np.float32)
+    vel[:, 1] = 5200.0  # crosses ~2 bands (band height 27) in one dt=0.01 frame
+    params = make_params(bounds=BOUNDS, gravity=0.0, shader_delay=0)
+
+    def run_one(mig_rounds):
+        sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=n, n_bands=n_bands,
+                                capacity=64, slack=8.0, mig_rounds=mig_rounds)
+        mesh = make_band_mesh(n_bands)
+        step = make_sharded_step(sspec, mesh)
+        sstate, dropped = shard_state(make_state(jnp.asarray(pos), jnp.asarray(vel)), sspec)
+        assert dropped == 0
+        sstate, diags = step(sstate, params)
+        jax.block_until_ready(sstate.pos)
+        return {k: int(v) for k, v in diags.items()}
+
+    # CFL sizing: 5200 * 0.01 = 52 world units over 27-unit bands -> 2 rounds
+    assert migration_rounds_for_speed(27.0, 5200.0, 0.01) == 2
+
+    d1 = run_one(1)
+    assert d1["band_violations"] > 0  # the clamp WOULD have silently held these back
+    with pytest.raises(ValueError, match="mig_rounds"):
+        check_diags(d1)
+
+    d2 = run_one(2)
+    assert d2["band_violations"] == 0
+    assert d2["live_particles"] == n
+    check_diags(d2, expect_particles=n)  # no raise
