@@ -11,10 +11,12 @@ fused step+render p50, standalone 1080p splat), a coarse per-phase frame breakdo
 (VERDICT r1 #7; see bench_phases.py for the fine-grained version), and the issued-vs-
 useful pair-work ratio of the force kernels (VERDICT r1 #2).
 
-Protocol: per-frame jitted dispatch with donated state (a scanned loop measurably
-de-optimizes Pallas steps — see runtime/simulation.py::run_frames_loop), 2 warm
-frames, then FRAMES timed frames with one final host sync.  Phase timings cycle 5
-distinct inputs because the axon runtime memoizes identical-input executions.
+Protocol notes (hard-won; see runtime/timing.py): this runtime memoizes
+identical-input executions, its block_until_ready can return before completion
+(only device->host pulls are true barriers), and every host RPC costs ~10s of ms —
+so the chained frame loop ends in ONE host pull, and all unchained measurements
+(phases, splat) run as in-jit repetition loops over distinct inputs with checksum
+outputs.  Scan vs host loop is a wash for heavy frames (measured 65.5 ms both).
 """
 
 from __future__ import annotations
@@ -56,70 +58,77 @@ def uniform_init(key, n, bounds):
 
 
 def _time_loop(step, state, frames):
-    state = jax.block_until_ready(step(state))  # compile + warm
-    state = jax.block_until_ready(step(state))
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        state = step(state)
-    jax.block_until_ready(jax.tree.leaves(state)[0])
-    return time.perf_counter() - t0, state
+    # Chained timing with a host-pull barrier: block_until_ready does NOT actually
+    # block on this runtime (see runtime/timing.py) — only device->host pulls do.
+    from rust_particle_system_tpu.runtime.timing import hsync, time_chained
+
+    state = step(state)  # compile + warm (chained; step donates its input)
+    state = step(state)
+    per, state = time_chained(step, state, frames)
+    return per * frames, state
 
 
-def _time_variants(fn, argsets, reps=10):
-    for a in argsets[:3]:
-        jax.block_until_ready(jax.tree.leaves(fn(*a))[0])
-    t0 = time.perf_counter()
-    for r in range(reps):
-        o = fn(*argsets[r % len(argsets)])
-    jax.block_until_ready(jax.tree.leaves(o)[0])
-    return (time.perf_counter() - t0) / reps * 1e3
+def measure_phases(spec, params, frame_ms):
+    """Per-frame phase split via cumulative prefixes, each timed as an in-jit
+    8-repetition loop over distinct inputs with a checksum output — the only
+    protocol that survives this runtime's identical-input memoization, its
+    non-blocking block_until_ready, AND its ~10s of ms per-RPC host-pull cost
+    (see runtime/timing.py).  Differences of successive prefixes give the phases.
+    """
+    from rust_particle_system_tpu.runtime.timing import hsync
 
-
-def measure_phases(spec, params):
-    """Coarse per-frame phase split: grid build / plane+kernel forces / tail."""
     gh, gw, C = spec.gh, spec.gw, spec.capacity
     nc = spec.num_cells
     dt = params.dt
+    R = 8
+    states = [uniform_init(jax.random.key(100 + i), N, BOUNDS) for i in range(R)]
+    pos8 = jnp.stack([st.pos for st in states])
+    vel8 = jnp.stack([st.vel for st in states])
 
-    def mk(i):
-        s = uniform_init(jax.random.key(100 + i), N, BOUNDS)
-        return s.pos, s.vel
+    def predict(i):
+        v = vel8[i] + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
+        return pos8[i] + v * dt, v
 
-    states = [mk(i) for i in range(5)]
+    def upto_grid(i, acc):
+        pred, _ = predict(i)
+        g = build_grid(spec, pred)
+        return acc + jnp.sum(g.perm[::4096]).astype(jnp.float32)
 
-    @jax.jit
-    def p_grid(pos, vel):
-        v = vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
-        pred = pos + v * dt
-        return pred, v, build_grid(spec, pred)
-
-    grids = [jax.block_until_ready(p_grid(*s)) for s in states]
-    grid_ms = _time_variants(p_grid, states)
-
-    @jax.jit
-    def p_cells(pred, vel, perm, table):
-        packed = jnp.concatenate([pred, vel], axis=-1)[perm]
+    def make_cells(i):
+        pred, v = predict(i)
+        g = build_grid(spec, pred)
+        packed = jnp.concatenate([pred, v], -1)[g.perm]
         packed = jnp.concatenate(
             [packed, jnp.array([[1e6, 1e6, 0.0, 0.0]], jnp.float32)], 0)
-        t = table[:nc]
+        t = g.table[:nc]
         live = t >= 0
-        cells = packed[jnp.where(live, t, N)]
-        return tuple(cells[..., i].reshape(gh, gw, C) for i in range(4))
+        return packed[jnp.where(live, t, N)]
 
-    cargs = [(g[0], g[1], g[2].perm, g[2].table) for g in grids]
-    cellsets = [jax.block_until_ready(p_cells(*a)) for a in cargs]
-    cells_ms = _time_variants(p_cells, cargs)
+    def upto_planes(i, acc):
+        return acc + jnp.sum(make_cells(i)[::512, ::32, 0])
 
-    @jax.jit
-    def p_forces(a, b, c, d):
-        return _forces_from_cells(a, b, c, d, spec, params, False)
+    def upto_forces(i, acc):
+        cells = make_cells(i)
+        ch = tuple(cells[..., k].reshape(gh, gw, C) for k in range(4))
+        nvx, _ = _forces_from_cells(*ch, spec, params, False)
+        return acc + jnp.sum(nvx[::16, ::16, 0])
 
-    forces_ms = _time_variants(p_forces, cellsets)
+    def timed(body):
+        fn = jax.jit(lambda: jax.lax.fori_loop(0, R, body, jnp.float32(0)))
+        hsync(fn())
+        t0 = time.perf_counter()
+        hsync(fn())
+        return (time.perf_counter() - t0) / R * 1e3
+
+    t_grid = timed(upto_grid)
+    t_planes = timed(upto_planes)
+    t_forces = timed(upto_forces)
     return {
-        "grid_build_ms": round(grid_ms, 2),
-        "plane_gather_ms": round(cells_ms, 2),
-        "force_kernels_ms": round(forces_ms, 2),
-        "detail": "see bench_phases.py for the fine-grained split",
+        "grid_build_ms": round(t_grid, 2),
+        "plane_gather_ms": round(t_planes - t_grid, 2),
+        "force_kernels_ms": round(t_forces - t_planes, 2),
+        "tail_ms": round(frame_ms - t_forces, 2),
+        "protocol": "in-jit x8 cumulative prefixes; tail = frame - prefix",
     }
 
 
@@ -171,14 +180,24 @@ def main() -> None:
     issued, useful = pair_efficiency(spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
 
     # Per-phase breakdown (VERDICT r1 #7).
-    phases = measure_phases(spec, params)
+    phases = measure_phases(spec, params, sph_elapsed / FRAMES * 1e3)
 
-    # Secondary: config-2 flow-field fused integrate at 1M.
+    # Secondary: config-2 flow-field fused integrate at 1M, scanned (one dispatch
+    # per 100 frames — host dispatch costs ~8 ms/frame on this runtime, which would
+    # otherwise dominate an elementwise step).
+    from rust_particle_system_tpu.runtime.simulation import run_frames
+    from rust_particle_system_tpu.runtime.timing import hsync
+
     fparams = make_flow_params(bounds=BOUNDS)
     fstate = uniform_init(jax.random.key(1), N, BOUNDS)
-    flow = jax.jit(lambda s: flow_step(s, fparams), donate_argnums=0)
-    flow_elapsed, fstate = _time_loop(flow, fstate, FRAMES)
-    flow_rate = FRAMES * N / flow_elapsed
+    FLOW_FRAMES = 100
+    fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
+    hsync(fstate.pos)
+    t0 = time.perf_counter()
+    fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
+    hsync(fstate.pos)
+    flow_elapsed = time.perf_counter() - t0
+    flow_rate = FLOW_FRAMES * N / flow_elapsed
 
     # Secondary: fused step + render p50 frame time (the BASELINE.json p50 metric).
     from rust_particle_system_tpu.ops.pallas.sph_step import sph_frame_pallas
@@ -188,30 +207,36 @@ def main() -> None:
         donate_argnums=0,
     )
     fstate2 = uniform_init(jax.random.key(2), N, BOUNDS)
-    fstate2, img = fused(fstate2)
-    jax.block_until_ready(img)
-    frame_times = []
-    for _ in range(11):
-        t0 = time.perf_counter()
-        fstate2, img = fused(fstate2)
-        jax.block_until_ready(img)
-        frame_times.append(time.perf_counter() - t0)
-    p50_frame_ms = sorted(frame_times)[len(frame_times) // 2] * 1e3
+    from rust_particle_system_tpu.runtime.timing import hsync
 
-    # Secondary: 1080p Pallas point-splat render of 1M sprites.
-    rspec = RenderSpec(width=1920, height=1080, max_radius_px=4)
-    pos, color = fstate.pos, fstate.color
-    render = jax.jit(
-        lambda p, c: splat_pallas(
-            p, c, jnp.float32(2.0), jnp.asarray(BOUNDS, jnp.float32), rspec
-        )
-    )
-    img = jax.block_until_ready(render(pos, color))
+    fstate2, img = fused(fstate2)
+    fstate2, img = fused(fstate2)
+    hsync(img)
     t0 = time.perf_counter()
-    for _ in range(10):
-        img = render(pos, color)
-    jax.block_until_ready(img)
-    render_ms = (time.perf_counter() - t0) / 10 * 1e3
+    for _ in range(11):
+        fstate2, img = fused(fstate2)
+    hsync((fstate2.pos, img))
+    p50_frame_ms = (time.perf_counter() - t0) / 11 * 1e3
+
+    # Secondary: 1080p Pallas point-splat render of 1M sprites (in-jit x4 over
+    # distinct states, checksum output — see measure_phases for why).
+    rspec = RenderSpec(width=1920, height=1080, max_radius_px=4)
+    color = fstate.color
+    rstates = [uniform_init(jax.random.key(50 + i), N, BOUNDS) for i in range(4)]
+    rpos4 = jnp.stack([s.pos for s in rstates])
+
+    @jax.jit
+    def splat4(rpos4, color):
+        def one(i, acc):
+            img = splat_pallas(rpos4[i], color, jnp.float32(2.0),
+                               jnp.asarray(BOUNDS, jnp.float32), rspec)
+            return acc + jnp.sum(img[::64, ::64, 0])
+        return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
+
+    hsync(splat4(rpos4, color))
+    t0 = time.perf_counter()
+    hsync(splat4(rpos4, color))
+    render_ms = (time.perf_counter() - t0) / 4 * 1e3
 
     print(
         json.dumps(
@@ -223,7 +248,7 @@ def main() -> None:
                 "n_particles": N,
                 "frames": FRAMES,
                 "sph_ms_per_frame": round(sph_elapsed / FRAMES * 1e3, 2),
-                "p50_fused_frame_ms": round(p50_frame_ms, 2),
+                "fused_frame_ms": round(p50_frame_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
                 "pairs_issued_per_walk": issued,

@@ -50,6 +50,7 @@ def main() -> None:
     import rust_particle_system_tpu as rps
     from rust_particle_system_tpu.core.state import make_state
     from rust_particle_system_tpu.parallel import (
+        check_diags,
         make_band_mesh,
         make_shard_spec,
         make_sharded_render,
@@ -86,10 +87,16 @@ def main() -> None:
         sstate, diags = step(sstate, params)
         if args.cpu_mesh:
             jax.block_until_ready(sstate.pos)  # CPU-mesh collectives need pacing
-    jax.block_until_ready(sstate.pos)
+        # hard guard every frame: violations / buffer drops / conservation breaks
+        # are errors, never silently absorbed (VERDICT r1 #8/#9)
+        check_diags(diags, expect_particles=args.n)
+    # a true completion barrier: block_until_ready alone can return early on
+    # tunneled runtimes (runtime/timing.py)
+    float(np.asarray(sstate.pos[0, 0]))
     elapsed = time.perf_counter() - t0
 
     out = {
+        "conservation_checked": True,
         "metric": "sharded_particle_steps_per_sec",
         "value": args.frames * args.n / elapsed,
         "unit": "steps/s",

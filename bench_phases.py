@@ -1,14 +1,13 @@
-"""Per-phase frame breakdown of the Pallas SPH step at 1M particles.
+"""Fine-grained per-phase frame breakdown of the Pallas SPH step at 1M particles.
 
-Splits one frame into its pipeline phases and times each as a separately-jitted
-function (chained on realistic intermediates, cycling distinct inputs to defeat the
-axon runtime's identical-input memoization).  This is the measurement backing
-bench.py's `phases` field and BASELINE.md's bottleneck table (VERDICT round-1 #7).
+Protocol (the only honest one on this runtime — see runtime/timing.py): every
+cut point is a CUMULATIVE PREFIX of the frame pipeline, timed as an in-jit
+8-repetition fori_loop over distinct inputs reduced to a checksum; successive
+differences give the per-phase costs.  This survives (a) identical-input
+memoization, (b) the non-blocking block_until_ready, (c) the ~10s-of-ms per-RPC
+host-pull cost that poisons per-call timings.
 
-Round-1 breakdown (99.55 ms frame): grid 21.8 (argsort 4.5 + a 1M-row starts gather
-+ keys re-gather), planes 20.4 (perm gather 8.5 + table gather 11.9), kernels
-14.9/24.3/17.2 (density/pressure/viscosity), tail 16.9 (pull-back + a full argsort
-for the inverse permutation).
+Prints one JSON line per cut point plus the differenced phase table.
 """
 
 from __future__ import annotations
@@ -24,134 +23,131 @@ from rust_particle_system_tpu.core import kernels as K
 from rust_particle_system_tpu.core.state import make_state
 from rust_particle_system_tpu.ops.grid import GridSpec, build_grid
 from rust_particle_system_tpu.ops.pallas import sph as S
+from rust_particle_system_tpu.ops.pallas.sph_step import (
+    _forces_from_cells,
+    sph_physics_pallas,
+)
+from rust_particle_system_tpu.runtime.timing import hsync
 
 N = 1_000_000
 BOUNDS = (-960.0, 960.0, -540.0, 540.0)
 CELL_SIZE = 9.0
-REPS = 10
-VARIANTS = 5  # distinct inputs cycled to defeat memoization
-
-
-def uniform_init(key, n, bounds):
-    x_min, x_max, y_min, y_max = bounds
-    kx, ky = jax.random.split(key)
-    pos = jnp.stack(
-        [
-            jax.random.uniform(kx, (n,), minval=x_min, maxval=x_max),
-            jax.random.uniform(ky, (n,), minval=y_min, maxval=y_max),
-        ],
-        axis=-1,
-    )
-    return make_state(pos)
-
-
-def timeit(name, fn, inputs_list, results):
-    outs = [jax.block_until_ready(fn(*inp)) for inp in inputs_list]
-    t0 = time.perf_counter()
-    for r in range(REPS):
-        o = fn(*inputs_list[r % len(inputs_list)])
-    jax.block_until_ready(jax.tree.leaves(o)[0])
-    ms = (time.perf_counter() - t0) / REPS * 1e3
-    results[name] = round(ms, 3)
-    print(json.dumps({"phase": name, "ms": round(ms, 3)}), flush=True)
-    return outs
+R = 8  # in-jit repetitions (distinct inputs)
 
 
 def main():
-    spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=128, cell_aspect=2)
+    spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=64, cell_aspect=1,
+                                pack2=True)
     params = rps.make_params(bounds=BOUNDS, gravity=300.0, shader_delay=0)
     gh, gw, C = spec.gh, spec.gw, spec.capacity
-    cp, tc, wt = S.plane_geometry(gw, C)
     nc = spec.num_cells
     dt = params.dt
 
-    states = [uniform_init(jax.random.key(i), N, BOUNDS) for i in range(VARIANTS)]
-    results = {}
+    def init(i):
+        kx, ky = jax.random.split(jax.random.key(i))
+        return jnp.stack(
+            [jax.random.uniform(kx, (N,), minval=BOUNDS[0], maxval=BOUNDS[1]),
+             jax.random.uniform(ky, (N,), minval=BOUNDS[2], maxval=BOUNDS[3])],
+            axis=-1,
+        )
 
-    # ---- phase 1: predict + build_grid (sort_key_val + searchsorted + table) ----
-    @jax.jit
-    def p_grid(pos, vel):
-        v = vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
-        pred = pos + v * dt
+    pos8 = jnp.stack([init(i) for i in range(R)])
+    vel8 = jnp.zeros_like(pos8)
+
+    def predict(i):
+        v = vel8[i] + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
+        return pos8[i] + v * dt, v
+
+    def sorted_keys_perm(i):
+        pred, v = predict(i)
+        keys = spec.cell_keys(pred)
+        sk, perm = jax.lax.sort(
+            (keys, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        return pred, v, sk, perm
+
+    # --- cumulative cut points ---
+    def upto_sort(i, acc):
+        _, _, sk, perm = sorted_keys_perm(i)
+        return acc + jnp.sum(perm[::4096]).astype(jnp.float32)
+
+    def upto_grid(i, acc):
+        pred, _ = predict(i)
         g = build_grid(spec, pred)
-        return pred, v, g
+        return acc + (jnp.sum(g.slot[::4096]) + jnp.sum(g.table[::512, 0])).astype(
+            jnp.float32
+        )
 
-    grids = timeit("grid_build", p_grid, [(s.pos, s.vel) for s in states], results)
+    def make_cells(i):
+        pred, v = predict(i)
+        g = build_grid(spec, pred)
+        packed = jnp.concatenate([pred, v], -1)[g.perm]
+        packed = jnp.concatenate(
+            [packed, jnp.array([[1e6, 1e6, 0.0, 0.0]], jnp.float32)], 0)
+        t = g.table[:nc]
+        return packed[jnp.where(t >= 0, t, N)]
 
-    # ---- phase 2: plane build (perm gather + table gather + pads) ----
-    @jax.jit
-    def p_planes(pred, vel, perm, table):
-        packed = jnp.concatenate([pred, vel], axis=-1)[perm]
-        fills = jnp.asarray([S._SENTINEL, S._SENTINEL, 0.0, 0.0], jnp.float32)
-        packed = jnp.concatenate([packed, fills[None, :]], axis=0)
-        t = table[:nc]
-        live = t >= 0
-        cells = packed[jnp.where(live, t, N)]
-        pxw = S._own_plane(cells[..., 0].reshape(gh, gw, C), gh, gw, wt,
-                           S._SENTINEL, cp)
-        pyw = S._own_plane(cells[..., 1].reshape(gh, gw, C), gh, gw, wt,
-                           S._SENTINEL, cp)
-        vxw = S._own_plane(cells[..., 2].reshape(gh, gw, C), gh, gw, wt, 0.0, cp)
-        vyw = S._own_plane(cells[..., 3].reshape(gh, gw, C), gh, gw, wt, 0.0, cp)
-        return (S._grow_plane(pxw, S._SENTINEL), S._grow_plane(pyw, S._SENTINEL),
-                vxw, vyw)
+    def upto_planes(i, acc):
+        return acc + jnp.sum(make_cells(i)[::512, ::32, 0])
 
-    planes = timeit(
-        "plane_build", p_planes,
-        [(g[0], g[1], g[2].perm, g[2].table) for g in grids], results)
+    def upto_density(i, acc):
+        cells = make_cells(i)
+        cp, tc, wt2 = S.plane_geometry((gw + 1) // 2, 2 * C)
+        pxg = cells[..., 0].reshape(gh, gw, C)
+        pyg = cells[..., 1].reshape(gh, gw, C)
+        np2 = (gw + 1) // 2
+        apx = S._own_plane(S._pack_a(pxg, S._SENTINEL), gh, np2, wt2, S._SENTINEL, cp)
+        apy = S._own_plane(S._pack_a(pyg, S._SENTINEL), gh, np2, wt2, S._SENTINEL, cp)
 
-    # ---- phase 3: density kernel ----
-    @jax.jit
-    def p_density(ppx, ppy):
-        return S.density_planes(ppx, ppy, params, False)
+        def bplane(x, fill):
+            b = S._pack_b(x, fill)
+            out = jnp.full((gh + 2, wt2 + 2, cp), fill, jnp.float32)
+            return out.at[1:gh + 1, 1:np2 + 2, :b.shape[-1]].set(b)
 
-    dens = timeit("density_pallas", p_density,
-                  [(p[0], p[1]) for p in planes], results)
+        rho, rhon = S.density_planes(bplane(pxg, S._SENTINEL),
+                                     bplane(pyg, S._SENTINEL), params, False,
+                                     own_planes=[apx, apy], n_dx=2)
+        return acc + jnp.sum(rho[::16, ::16, 0])
 
-    # ---- phase 4: fused pressure+viscosity kernel ----
-    @jax.jit
-    def p_force(ppx, ppy, vxw, vyw, rho, rhon):
-        P1, NPo, NPn = S.pressure_terms(rho, rhon, params)
-        return S.force_planes(
-            ppx, ppy, S._grow_plane(P1, 0.0), S._grow_plane(NPn, 0.0),
-            S._grow_plane(vxw, 0.0), S._grow_plane(vyw, 0.0), NPo, params, False)
+    def upto_forces(i, acc):
+        cells = make_cells(i)
+        ch = tuple(cells[..., k].reshape(gh, gw, C) for k in range(4))
+        nvx, _ = _forces_from_cells(*ch, spec, params, False)
+        return acc + jnp.sum(nvx[::16, ::16, 0])
 
-    forces = timeit(
-        "force_pallas", p_force,
-        [(p[0], p[1], p[2], p[3], d[0], d[1]) for p, d in zip(planes, dens)],
-        results)
+    def full_frame(i, acc):
+        st = make_state(pos8[i], vel8[i])
+        ns, _ = sph_physics_pallas(st, params, spec, False)
+        return acc + jnp.sum(ns.pos[::4096])
 
-    # ---- phase 5: velocity update + pull-back + inverse perm + tail ----
-    @jax.jit
-    def p_tail(vxw, vyw, fx, fy, fvx, fvy, sorted_keys, slot, perm, pos, vel):
-        vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
-        nvx = vxw + fx * dt + fvx * vscale
-        nvy = vyw + fy * dt + fvy * vscale
-        vplane = jnp.stack(
-            [nvx[:, :gw, :C].reshape(nc, C), nvy[:, :gw, :C].reshape(nc, C)],
-            axis=-1)
-        s = jnp.minimum(slot, C - 1)
-        pulled = vplane[sorted_keys, s]
-        in_table = (slot < C)[:, None]
-        vel_s = jnp.where(in_table, pulled, 0.0)
-        new_vel = vel_s[jnp.argsort(perm)]
-        p2 = pos + new_vel * dt
-        p2, new_vel = K.bounce_bounds(p2, new_vel, params.bounds,
-                                      params.damping_factor)
-        color = K.energy_color(new_vel, params.max_energy)
-        return p2, new_vel, color
+    cuts = [
+        ("sort", upto_sort),
+        ("grid_build", upto_grid),
+        ("plane_gathers", upto_planes),
+        ("density", upto_density),
+        ("forces", upto_forces),
+        ("full_frame", full_frame),
+    ]
+    cum = {}
+    for name, body in cuts:
+        fn = jax.jit(lambda body=body: jax.lax.fori_loop(0, R, body, jnp.float32(0)))
+        hsync(fn())
+        t0 = time.perf_counter()
+        hsync(fn())
+        cum[name] = (time.perf_counter() - t0) / R * 1e3
+        print(json.dumps({"cut": name, "cumulative_ms": round(cum[name], 2)}),
+              flush=True)
 
-    timeit(
-        "tail_pullback", p_tail,
-        [(p[2], p[3], f[0], f[1], f[2], f[3], g[2].sorted_keys, g[2].slot,
-          g[2].perm, s.pos, s.vel)
-         for p, f, g, s in zip(planes, forces, grids, states)], results)
-
-    total = sum(v for k, v in results.items()
-                if k in ("grid_build", "plane_build", "density_pallas",
-                         "force_pallas", "tail_pullback"))
-    print(json.dumps({"phase": "SUM_pipeline", "ms": round(total, 3)}), flush=True)
-    print(json.dumps({"phases": results}), flush=True)
+    phases = {
+        "sort_ms": cum["sort"],
+        "starts_slot_table_ms": cum["grid_build"] - cum["sort"],
+        "plane_gathers_ms": cum["plane_gathers"] - cum["grid_build"],
+        "density_kernel_ms": cum["density"] - cum["plane_gathers"],
+        "force_kernel_ms": cum["forces"] - cum["density"],
+        "tail_ms": cum["full_frame"] - cum["forces"],
+        "full_frame_ms": cum["full_frame"],
+    }
+    print(json.dumps({"phases": {k: round(v, 2) for k, v in phases.items()}}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,6 @@ class Model(Protocol):
 
     def step(self, state: ParticleState, params: Any) -> ParticleState: ...
 
-    def render(self, state: ParticleState, params: Any): ...
+    def render(self, state: ParticleState, params: Any, camera=None): ...
 
     def default_params(self) -> Any: ...

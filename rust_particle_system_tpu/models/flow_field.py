@@ -150,6 +150,6 @@ class FlowField:
     def step(self, state, params):
         return flow_step(state, params)
 
-    def render(self, state, params):
+    def render(self, state, params, camera=None):
         return splat(state.pos, state.color, params.particle_size, params.bounds,
-                     self.render_spec)
+                     self.render_spec, camera=camera)

@@ -131,6 +131,6 @@ class NBody:
             return nbody_step(state, params, accel_fn=nbody_accel_pallas)
         return nbody_step(state, params)
 
-    def render(self, state, params):
+    def render(self, state, params, camera=None):
         return splat(state.pos, state.color, params.particle_size, params.bounds,
-                     self.render_spec)
+                     self.render_spec, camera=camera)

@@ -57,12 +57,22 @@ class SPHFluid:
                 capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
             grid = GridSpec.from_bounds(bounds, cell_size, capacity)
         elif backend == "pallas":
-            # Wide cells fill the 128-slot lane tile: pick the aspect so that
-            # safety x the average per-cell occupancy lands near 128.
+            # Prefer the pair-packed layout (two aspect-1 cells per 128-lane row,
+            # 6 neighbor offsets instead of 9 — ops/pallas/sph.py) whenever 64
+            # slots give at least ~1.6x headroom over the average occupancy;
+            # otherwise fall back to wide cells filling the classic 128-slot lane
+            # tile.  Overflowing cells only lose force contributions (counted,
+            # surfaced by Simulation.stats) — heavily clustered initial states
+            # should pass an explicit ``capacity``.
             if capacity is None:
-                per_cell = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
-                aspect = max(1, min(4, 128 // max(per_cell, 1)))
-                grid = GridSpec.from_bounds(bounds, cell_size, 128, cell_aspect=aspect)
+                if suggest_capacity(n, bounds, cell_size, safety=1.6) <= 64:
+                    grid = GridSpec.from_bounds(bounds, cell_size, 64, pack2=True)
+                else:
+                    per_cell = suggest_capacity(n, bounds, cell_size,
+                                                safety=capacity_safety)
+                    aspect = max(1, min(4, 128 // max(per_cell, 1)))
+                    grid = GridSpec.from_bounds(bounds, cell_size, 128,
+                                                cell_aspect=aspect)
             else:
                 grid = GridSpec.from_bounds(bounds, cell_size, capacity)
         return cls(
@@ -87,9 +97,12 @@ class SPHFluid:
             return grid_step(state, params, self.grid, self.chunk_cells)
         return reference_step(state, params)
 
-    def render(self, state: ParticleState, params: SimParams):
+    def render(self, state: ParticleState, params: SimParams, camera=None):
+        """Render the state; ``camera`` is a traced (cx, cy, zoom) pan/zoom triple —
+        the per-frame view_proj analog (src/particle_buffers.rs:220-236)."""
         return splat(
-            state.pos, state.color, params.particle_size, params.bounds, self.render_spec
+            state.pos, state.color, params.particle_size, params.bounds,
+            self.render_spec, camera=camera,
         )
 
     def step_and_render(self, state: ParticleState, params: SimParams):

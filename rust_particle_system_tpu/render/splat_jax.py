@@ -44,17 +44,30 @@ class RenderSpec:
         return (self.height, self.width, 4)
 
 
-def world_to_pixel(pos, bounds, spec: RenderSpec):
+def world_to_pixel(pos, bounds, spec: RenderSpec, camera=None):
     """World -> continuous pixel coords (pixel centres at integer + 0.5).
 
     The reference's identity camera makes world units = logical pixels with y up
     (`src/main.rs:136-158`); image rows run top-down, so y flips.
+
+    ``camera`` is the per-frame view transform analog (the reference recomputes
+    ``view_proj`` from the live camera every frame, `src/particle_buffers.rs:220-236`):
+    a traced ``(cx, cy, zoom)`` triple panning the view centre to (cx, cy) in world
+    space and scaling by zoom — no recompile on change.  ``None`` = the identity
+    camera framing ``bounds`` exactly.
     """
     x_min, x_max, y_min, y_max = bounds[0], bounds[1], bounds[2], bounds[3]
     sx = spec.width / (x_max - x_min)
     sy = spec.height / (y_max - y_min)
-    px = (pos[..., 0] - x_min) * sx
-    py = (y_max - pos[..., 1]) * sy
+    if camera is None:
+        px = (pos[..., 0] - x_min) * sx
+        py = (y_max - pos[..., 1]) * sy
+        return px, py, sx, sy
+    cx, cy, zoom = camera[0], camera[1], camera[2]
+    sx = sx * zoom
+    sy = sy * zoom
+    px = spec.width * 0.5 + (pos[..., 0] - cx) * sx
+    py = spec.height * 0.5 - (pos[..., 1] - cy) * sy
     return px, py, sx, sy
 
 
@@ -68,7 +81,8 @@ def _sprite_alpha(dist_px, radius_px):
     return jnp.where(alpha < 0.01, 0.0, alpha)
 
 
-def splat_accumulate(pos, color, particle_size, bounds, spec: RenderSpec):
+def splat_accumulate(pos, color, particle_size, bounds, spec: RenderSpec,
+                     camera=None):
     """Pre-resolve accumulators: ([H, W, 3] premultiplied RGB, [H, W] coverage).
 
     The accumulators are **additive and commutative**, so partial accumulators from
@@ -76,7 +90,7 @@ def splat_accumulate(pos, color, particle_size, bounds, spec: RenderSpec):
     :func:`splat_resolve` — this is the distributed splat-composite path
     (`parallel/composite.py`).
     """
-    px, py, sx, _sy = world_to_pixel(pos, bounds, spec)
+    px, py, sx, _sy = world_to_pixel(pos, bounds, spec, camera)
     radius_px = particle_size * sx  # isotropic when aspect ratios match (the default)
 
     r = spec.max_radius_px
@@ -126,13 +140,15 @@ def splat_resolve(rgb_acc, a_acc, background=(0.0, 0.0, 0.0, 1.0)):
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def splat(pos, color, particle_size, bounds, spec: RenderSpec,
-          background=(0.0, 0.0, 0.0, 1.0)):
+          background=(0.0, 0.0, 0.0, 1.0), camera=None):
     """Render particles to an [H, W, 4] float32 image (RGB over background, A=coverage).
 
     Each particle scatter-adds premultiplied colour over its (2*max_radius_px+1)^2
-    stamp; out-of-image contributions are dropped (clipping).
+    stamp; out-of-image contributions are dropped (clipping).  ``camera`` is a
+    traced (cx, cy, zoom) pan/zoom view transform — keep ``particle_size * zoom``
+    within ``spec.max_radius_px`` world-to-pixel, or sprites clip at the stamp edge.
     """
-    rgb_acc, a_acc = splat_accumulate(pos, color, particle_size, bounds, spec)
+    rgb_acc, a_acc = splat_accumulate(pos, color, particle_size, bounds, spec, camera)
     return splat_resolve(rgb_acc, a_acc, background)
 
 

@@ -112,19 +112,23 @@ def _assemble(patches, ghc, gwc, height, width):
 )
 def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
                  background=(0.0, 0.0, 0.0, 1.0), capacity: int = 64,
-                 interpret: bool | None = None, return_overflow: bool = False):
+                 interpret: bool | None = None, return_overflow: bool = False,
+                 camera=None):
     """Drop-in for ``splat_jax.splat`` (same signature + blend), Pallas-accelerated.
 
     Sprites beyond ``capacity`` per 8x8px render cell are dropped from the image; pass
     ``return_overflow=True`` to get ``(image, dropped_count)`` and monitor it (dense
-    states — e.g. fluid compacted against a wall — can exceed the default 64)."""
+    states — e.g. fluid compacted against a wall — can exceed the default 64).
+    ``camera`` is a traced (cx, cy, zoom) pan/zoom — binning happens in the SCREEN's
+    pixel space, so the camera composes with it for free; keep ``particle_size *
+    zoom`` within ``max_radius_px`` world-to-pixel or sprites clip at the margin."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     assert spec.max_radius_px <= MARGIN, (
         f"sprite radius {spec.max_radius_px}px exceeds the {MARGIN}px patch margin"
     )
 
-    px, py, sx, _sy = world_to_pixel(pos, bounds, spec)
+    px, py, sx, _sy = world_to_pixel(pos, bounds, spec, camera)
     radius_px = particle_size * sx
 
     # Render grid in pixel space; pad to a multiple of the program tile.
@@ -139,9 +143,10 @@ def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
     nc = rspec.num_cells
     nc_pad = -(-(nc) // _TC) * _TC
 
-    # TPU gather cost is per ROW and flat in row width, so all five channels ride ONE
-    # wide gather: table -> original particle index (perm composed in), then one
-    # [rows, 8]-wide gather of (px, py, r, g, b, pad...).
+    # TPU gather cost is per ROW and flat in row width, so all five channels ride
+    # wide gathers: first sort the [n, 8] value rows once (1 x n rows), then pull
+    # cell slots straight from the sorted stream via the table (1 x nc*cap rows) —
+    # composing perm[table] instead would issue a SECOND nc*cap-row gather.
     n = pos.shape[0]
     values = jnp.concatenate(
         [
@@ -153,11 +158,10 @@ def splat_pallas(pos, color, particle_size, bounds, spec: RenderSpec,
         axis=-1,
     )  # [n, 8]
     fills = jnp.asarray([_FAR, _FAR, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
-    values = jnp.concatenate([values, fills[None, :]], axis=0)  # row n = empty-slot fill
+    values_sorted = jnp.concatenate([values[grid.perm], fills[None, :]], axis=0)
 
     live = grid.table >= 0
-    orig_idx = jnp.where(live, grid.perm[jnp.minimum(grid.table, n - 1)], n)
-    gathered = values[orig_idx]  # [nc+1, capacity, 8]
+    gathered = values_sorted[jnp.where(live, grid.table, n)]  # [nc+1, cap, 8]
 
     def plane(ch):
         out = gathered[:nc, :, ch]

@@ -15,6 +15,7 @@ Commands (also shown by ``help``):
     params             print the current parameter values
     stats              validate invariants + print state/grid statistics
     render [PATH]      write the current frame as a PNG (default /tmp/frame_NNN.png)
+    camera CX CY ZOOM  pan/zoom the view (traced — no recompile); 'camera reset'
     save PATH          checkpoint state+params to PATH (.npz)
     load PATH          resume state+params from PATH
     autorender on|off  write a PNG automatically after every `run`
@@ -54,6 +55,7 @@ class Session:
         self.out = out
         self.autorender = False
         self.render_count = 0
+        self.camera = None  # (cx, cy, zoom) or None = frame the full bounds
 
     def _print(self, *args):
         print(*args, file=self.out, flush=True)
@@ -91,10 +93,20 @@ class Session:
 
     def cmd_render(self, arg=""):
         path = arg or f"/tmp/frame_{self.render_count:04d}.png"
-        img = to_srgb_u8(self.sim.render())
+        img = to_srgb_u8(self.sim.render(camera=self.camera))
         write_png(path, np.asarray(img))
         self.render_count += 1
         self._print(f"frame -> {path}")
+
+    def cmd_camera(self, arg=""):
+        """camera CX CY ZOOM — pan/zoom the view; 'camera reset' restores it."""
+        if not arg or arg.strip() == "reset":
+            self.camera = None
+            self._print("camera reset (framing full bounds)")
+            return
+        cx, cy, zoom = (float(v) for v in arg.split())
+        self.camera = (cx, cy, zoom)
+        self._print(f"camera centred ({cx}, {cy}) zoom {zoom}")
 
     def cmd_save(self, arg):
         checkpoint.save(arg, self.sim.state, self.sim.params)

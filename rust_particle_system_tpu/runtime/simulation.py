@@ -32,10 +32,12 @@ def run_frames(step_fn, state: ParticleState, params: Any, num_frames: int) -> P
 def run_frames_loop(step_fn, state: ParticleState, params: Any, num_frames: int):
     """Advance frames with per-frame jitted dispatch (donated carry).
 
-    Measured on v5e, ``lax.scan`` over a grid/Pallas SPH step runs ~9x slower than
-    dispatching the same jitted step from a host loop (XLA appears to lose buffer
-    reuse across scan iterations with pallas_call in the body), so this is the
-    default driver for heavyweight steps; dispatch overhead is microseconds.
+    Round-1 measured ``lax.scan`` over Pallas SPH frames ~9x slower than a host
+    loop; round 2 re-measured with honest barriers: scan and host loop are now
+    IDENTICAL for heavy frames (65.5 ms both at 1M), while host dispatch costs
+    ~8 ms/frame of tunnel overhead that dominates light (elementwise) steps.  The
+    default driver is therefore :func:`run_frames` (scan); this loop remains for
+    per-frame host interaction and debugging.
     """
     step = _loop_step(step_fn)
     for _ in range(num_frames):
@@ -119,13 +121,20 @@ class Simulation:
         return self.params
 
     def run(self, num_frames: int):
-        self.state = run_frames_loop(
+        self.state = run_frames(
             self.model.step, self.state, self.params, num_frames
         )
         return self.state
 
-    def render(self):
-        return self.model.render(self.state, self.params)
+    def render(self, camera=None):
+        """Render the current state.  ``camera`` = (cx, cy, zoom) pan/zoom triple,
+        traced — changing it re-uses the compiled render (the per-frame view_proj
+        analog, src/particle_buffers.rs:220-236)."""
+        import jax.numpy as jnp
+
+        if camera is not None:
+            camera = jnp.asarray(camera, jnp.float32)
+        return self.model.render(self.state, self.params, camera=camera)
 
     def stats(self) -> dict:
         """Validate the current state and return summary statistics.
