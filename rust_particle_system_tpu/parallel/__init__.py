@@ -1,5 +1,5 @@
 from .composite import make_sharded_render
-from .mesh import make_band_mesh
+from .mesh import dcn_boundary_bands, make_band_mesh, make_multislice_band_mesh
 from .shard import (
     ShardSpec,
     migration_rounds_for_speed,
@@ -18,7 +18,9 @@ __all__ = [
     "migration_rounds_for_speed",
     "ShardedState",
     "band_of_positions",
+    "dcn_boundary_bands",
     "make_band_mesh",
+    "make_multislice_band_mesh",
     "make_shard_spec",
     "make_sharded_render",
     "make_sharded_step",

@@ -49,6 +49,9 @@ def main(argv=None) -> int:
                     help="override a param field (repeatable), e.g. gravity=500")
     ap.add_argument("--stats", action="store_true",
                     help="validate invariants and print state statistics at the end")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run into DIR "
+                         "(view with TensorBoard/xprof)")
     args = ap.parse_args(argv)
 
     model = build_model(args.model, args.n, args.backend)
@@ -74,14 +77,21 @@ def main(argv=None) -> int:
     if overrides:
         sim.update_params(**overrides)
 
+    import contextlib
+
+    from .profiling import trace
+
     done = 0
     t_start = time.perf_counter()
-    while done < args.frames:
-        k = min(args.chunk, args.frames - done)
-        sim.run(k)
-        done += k
-    jax.block_until_ready(sim.state.pos)
+    with (trace(args.profile) if args.profile else contextlib.nullcontext()):
+        while done < args.frames:
+            k = min(args.chunk, args.frames - done)
+            sim.run(k)
+            done += k
+        jax.block_until_ready(sim.state.pos)
     elapsed = time.perf_counter() - t_start
+    if args.profile:
+        print(f"profiler trace -> {args.profile}")
     rate = args.frames * args.n / max(elapsed, 1e-9)
     print(
         f"{args.model}: {args.frames} frames x {args.n} particles in {elapsed:.2f}s "

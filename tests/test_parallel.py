@@ -225,3 +225,38 @@ def test_fast_particle_migration_rounds(rng):
     assert d2["band_violations"] == 0
     assert d2["live_particles"] == n
     check_diags(d2, expect_particles=n)  # no raise
+
+
+def test_multislice_mesh_ordering_and_parity(rng):
+    """Multi-slice band mesh (SURVEY §2.3 DCN entry): device order keeps each
+    slice's bands contiguous so one boundary per slice pair rides DCN; the step
+    itself is mesh-order agnostic (same collectives).  On CPU devices (no
+    slice_index) the mesh degenerates to make_band_mesh and the sharded step
+    produces identical trajectories on either mesh."""
+    from rust_particle_system_tpu.parallel import (
+        dcn_boundary_bands,
+        make_multislice_band_mesh,
+    )
+
+    mesh = make_multislice_band_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert dcn_boundary_bands(mesh) == []  # CPU: single "slice"
+
+    n, n_bands = 160, 4
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=120.0, shader_delay=0)
+    sspec = make_shard_spec(BOUNDS, cell_size=9.0, n=n, n_bands=n_bands,
+                            capacity=64, slack=4.0)
+    state = make_state(jnp.asarray(pos), jnp.asarray(vel))
+
+    results = []
+    for m in (make_band_mesh(n_bands),
+              jax.sharding.Mesh(mesh.devices.ravel()[:n_bands], ("bands",))):
+        step = make_sharded_step(sspec, m)
+        sstate, dropped = shard_state(state, sspec)
+        assert dropped == 0
+        for _ in range(2):
+            sstate, diags = step(sstate, params)
+            jax.block_until_ready(sstate.pos)
+        results.append(np.asarray(unshard_state(sstate).pos))
+    np.testing.assert_allclose(results[0], results[1], atol=1e-6)

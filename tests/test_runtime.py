@@ -187,3 +187,13 @@ def test_simulation_stats_reports_grid_overflow():
     stats = sim.stats()
     assert "grid_overflow" in stats and "grid_max_occupancy" in stats
     assert stats["grid_overflow"] >= 0
+
+
+def test_cli_profile_trace(tmp_path, capsys):
+    """--profile captures a jax.profiler trace directory."""
+    d = str(tmp_path / "trace")
+    cli_main(["--model", "attractor", "--n", "32", "--frames", "2",
+              "--profile", d])
+    out = capsys.readouterr().out
+    assert "profiler trace" in out
+    assert os.path.isdir(d) and os.listdir(d)
