@@ -140,13 +140,18 @@ class Grid(NamedTuple):
     overflow: jnp.ndarray  # [] int32, particles beyond capacity this frame
 
 
-def build_grid(spec: GridSpec, pos) -> Grid:
+def build_grid(spec: GridSpec, pos, with_table: bool = True) -> Grid:
     """Bin + sort + offsets, fused: the TPU replacement for dispatch passes 1-3.
 
     The slot table is derived *arithmetically* from the sorted run starts —
     ``table[c, s] = starts[c] + s`` while inside the run — rather than scattered:
     1M-element scatters serialize on TPU and dominated early profiles; this
     formulation is pure iota/compare/gather and vectorizes completely.
+
+    ``with_table=False`` skips materializing the [num_cells + 1, capacity] slot
+    table (sets it to a zero-size placeholder): the Pallas step builds its planes
+    from ``starts`` directly via the roll kernel (ops/pallas/plane_build.py) and
+    never reads the table.
     """
     n = pos.shape[0]
     keys = spec.cell_keys(pos)
@@ -173,9 +178,14 @@ def build_grid(spec: GridSpec, pos) -> Grid:
     counts = starts_full[1:] - starts_full[:-1]  # [num_cells + 1]
     overflow = jnp.sum(jnp.maximum(counts - spec.capacity, 0)).astype(jnp.int32)
 
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (spec.num_cells + 1, spec.capacity), 1)
-    rows = starts_full[:-1, None] + sidx
-    table = jnp.where(sidx < counts[:, None], rows, -1)
+    if with_table:
+        sidx = jax.lax.broadcasted_iota(
+            jnp.int32, (spec.num_cells + 1, spec.capacity), 1
+        )
+        rows = starts_full[:-1, None] + sidx
+        table = jnp.where(sidx < counts[:, None], rows, -1)
+    else:
+        table = jnp.zeros((0, spec.capacity), jnp.int32)
 
     return Grid(
         perm=perm,

@@ -17,6 +17,7 @@ from ...core import kernels as K
 from ...core.params import SimParams
 from ...core.state import ParticleState
 from ...ops.grid import GridSpec, build_grid
+from .plane_build import cell_planes_aos
 from .sph import (
     _SENTINEL,
     _grow_plane,
@@ -124,19 +125,16 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     vel = state.vel + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
     pred = state.pos + vel * dt
 
-    grid = build_grid(spec, pred)
+    grid = build_grid(spec, pred, with_table=False)
     n = pred.shape[0]
 
-    # TPU gather cost is per ROW and flat in row width (measured), so the whole
-    # cell-plane build rides ONE wide gather: pack (pred, vel) -> [n+1, 4] with an
-    # empty-slot fill row, gather via the slot table once.
-    packed = jnp.concatenate([pred, vel], axis=-1)  # [n, 4]
-    fills = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], jnp.float32)
-    packed = jnp.concatenate([packed[grid.perm], fills[None, :]], axis=0)
-
-    table = grid.table[:nc]  # [nc, C]
-    live = table >= 0
-    cells = packed[jnp.where(live, table, n)]  # [nc, C, 4]
+    # Cell-plane build: ONE perm gather packs (pred, vel) into sorted order, then
+    # the aligned-window + dynamic-roll kernel lays the runs out as slot planes
+    # (2 gather slices per CELL instead of one per slot — see plane_build.py).
+    fills = (_SENTINEL, _SENTINEL, 0.0, 0.0)
+    sorted_packed = jnp.concatenate([pred, vel], axis=-1)[grid.perm]  # [n, 4]
+    cells = cell_planes_aos(sorted_packed, grid.starts, nc, C, fills, interpret)
+    counts = grid.starts[1 : nc + 1] - grid.starts[:nc]  # [nc]
 
     pxg = cells[..., 0].reshape(gh, gw, C)
     pyg = cells[..., 1].reshape(gh, gw, C)
@@ -154,7 +152,7 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     pulled = vplane[grid.sorted_keys, s]  # [n, 2], sorted order
     in_table = (grid.slot < C)[:, None]
     # Overflow particles (beyond capacity) keep their post-gravity velocity.
-    vel_s = jnp.where(in_table, pulled, packed[:n, 2:4])
+    vel_s = jnp.where(in_table, pulled, sorted_packed[:, 2:4])
 
     new_vel = vel_s[jnp.argsort(grid.perm)]  # inverse-perm gather, not scatter
     pos = state.pos + new_vel * dt
@@ -174,7 +172,8 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     plane_pos, plane_vel = K.bounce_bounds(
         plane_pos, plane_vel, params.bounds, params.damping_factor
     )
-    live3 = live.reshape(gh, gw, C)
+    slot_iota = jnp.arange(C, dtype=jnp.int32)
+    live3 = slot_iota[None, None, :] < counts.reshape(gh, gw, 1)
     planes = {
         "px": jnp.where(live3, plane_pos[..., 0], jnp.float32(1e6)),
         "py": jnp.where(live3, plane_pos[..., 1], jnp.float32(1e6)),
@@ -198,19 +197,20 @@ def sph_step_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     return stepped._replace(frame=state.frame + 1)
 
 
-def state_planes(state: ParticleState, spec: GridSpec):
+def state_planes(state: ParticleState, spec: GridSpec,
+                 interpret: bool | None = None):
     """Cell planes of a state as-is (no physics) — the warm-up render path."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     gh, gw, C = spec.gh, spec.gw, spec.capacity
     nc = spec.num_cells
-    grid = build_grid(spec, state.pos)
-    n = state.pos.shape[0]
-    packed = jnp.concatenate([state.pos, state.vel], axis=-1)
-    fills = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], jnp.float32)
-    packed = jnp.concatenate([packed[grid.perm], fills[None, :]], axis=0)
-    table = grid.table[:nc]
-    live = table >= 0
-    cells = packed[jnp.where(live, table, n)]
-    live3 = live.reshape(gh, gw, C)
+    grid = build_grid(spec, state.pos, with_table=False)
+    fills = (_SENTINEL, _SENTINEL, 0.0, 0.0)
+    sorted_packed = jnp.concatenate([state.pos, state.vel], axis=-1)[grid.perm]
+    cells = cell_planes_aos(sorted_packed, grid.starts, nc, C, fills, interpret)
+    counts = grid.starts[1 : nc + 1] - grid.starts[:nc]
+    slot_iota = jnp.arange(C, dtype=jnp.int32)
+    live3 = slot_iota[None, None, :] < counts.reshape(gh, gw, 1)
     return {
         "px": jnp.where(live3, cells[..., 0].reshape(gh, gw, C), jnp.float32(1e6)),
         "py": jnp.where(live3, cells[..., 1].reshape(gh, gw, C), jnp.float32(1e6)),
@@ -248,7 +248,7 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
         return new_state, planes
 
     def frozen_frame(s):
-        return s, state_planes(s, spec)
+        return s, state_planes(s, spec, interpret)
 
     new_state, planes = jax.lax.cond(
         state.frame >= params.shader_delay, live_frame, frozen_frame, state
