@@ -17,16 +17,40 @@ import jax.numpy as jnp
 
 
 class ParticleState(NamedTuple):
-    """SoA particle state.  All float32; `frame` is an int32 scalar."""
+    """SoA particle state.  All float32; `frame` is an int32 scalar.
+
+    ``ids`` is optional (None for most paths): the sorted-resident Pallas step
+    (ops/pallas/sph_step.py) keeps state in cell-sorted order across frames and
+    tracks each row's original particle identity here, so trajectory consumers can
+    re-establish a stable order with ``jnp.argsort(state.ids)``.  As a pytree,
+    ``None`` simply contributes no leaf.
+    """
 
     pos: jnp.ndarray  # [n, 2]
     vel: jnp.ndarray  # [n, 2]
     color: jnp.ndarray  # [n, 4]
     frame: jnp.ndarray  # [] int32
+    ids: jnp.ndarray | None = None  # [n] int32, original index of each row
 
     @property
     def n(self) -> int:
         return self.pos.shape[0]
+
+    def with_ids(self) -> "ParticleState":
+        """Attach identity tracking (a fresh 0..n-1 ids column) if absent."""
+        if self.ids is not None:
+            return self
+        return self._replace(ids=jnp.arange(self.pos.shape[0], dtype=jnp.int32))
+
+    def in_original_order(self) -> "ParticleState":
+        """Undo any resident reordering: rows sorted back by ids (no-op sans ids)."""
+        if self.ids is None:
+            return self
+        inv = jnp.argsort(self.ids)
+        return ParticleState(
+            pos=self.pos[inv], vel=self.vel[inv], color=self.color[inv],
+            frame=self.frame, ids=self.ids[inv],
+        )
 
 
 def make_state(pos, vel=None, color=None, frame=0) -> ParticleState:

@@ -86,13 +86,20 @@ class SPHFluid:
         return make_params(bounds=self.bounds)
 
     def init(self, key: jax.Array, n: int) -> ParticleState:
-        return scatter_init(key, n, self.bounds)
+        state = scatter_init(key, n, self.bounds)
+        if self.backend == "pallas":
+            # Production steps run sorted-RESIDENT: state rows live in cell-sorted
+            # order across frames (no per-frame inverse permutation); the ids
+            # column tracks each row's original identity.
+            state = state.with_ids()
+        return state
 
     def step(self, state: ParticleState, params: SimParams) -> ParticleState:
         if self.backend == "pallas":
             from ..ops.pallas.sph_step import sph_step_pallas
 
-            return sph_step_pallas(state, params, self.grid)
+            return sph_step_pallas(state, params, self.grid,
+                                   resident=state.ids is not None)
         if self.backend == "grid":
             return grid_step(state, params, self.grid, self.chunk_cells)
         return reference_step(state, params)
@@ -117,5 +124,6 @@ class SPHFluid:
         from ..ops.pallas.sph_step import sph_frame_pallas
 
         return sph_frame_pallas(
-            state, params, self.grid, self.render_spec, bounds_static=self.bounds
+            state, params, self.grid, self.render_spec, bounds_static=self.bounds,
+            resident=state.ids is not None,
         )

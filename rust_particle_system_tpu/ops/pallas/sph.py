@@ -327,9 +327,14 @@ def _pack_b(x, fill):
 
 
 def unpack_pairs(x, gw, C):
-    """[gh, wt2, 2C] packed kernel output -> [gh, gw, C]."""
+    """[gh, wt2, CP] packed kernel output -> [gh, gw, C].
+
+    Only the first 2C lanes of each A-unit are real cells; when capacity < 64 the
+    lane tile pads CP to 128 and those pad lanes must be dropped BEFORE the
+    cell-split reshape (treating them as phantom cells interleaves garbage into
+    the cell stream — the round-2 pack2/cap<64 order-dependence bug)."""
     gh = x.shape[0]
-    u = x.reshape(gh, -1, C)  # [gh, 2*wt2, C]
+    u = x[:, :, : 2 * C].reshape(gh, -1, C)  # [gh, 2*wt2, C]
     return u[:, :gw, :]
 
 

@@ -105,7 +105,8 @@ def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret):
 
 
 def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
-                       interpret: bool | None = None, want_planes: bool = False):
+                       interpret: bool | None = None, want_planes: bool = False,
+                       resident: bool = False):
     """One physics frame.  Returns (new_state, overflow[, planes]).
 
     Two Pallas walks (spec v2): density, then fused pressure+viscosity.  Everything
@@ -115,7 +116,13 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
 
     With ``want_planes`` the cell-dense planes of the frame's END state (positions,
     velocities, live mask) are also returned, enabling the fused renderer
-    (``render/splat_planes.py``) to draw the frame without re-binning."""
+    (``render/splat_planes.py``) to draw the frame without re-binning.
+
+    With ``resident`` the new state is returned in THIS frame's cell-sorted order
+    (requires ``state.ids``; the ids column rides the one perm gather as a bitcast
+    f32 channel).  This skips the inverse permutation — an argsort plus a 1M-row
+    gather per frame — which only exists to restore an ordering the physics never
+    needs.  Callers track identity through ``state.ids``."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     gh, gw, C = spec.gh, spec.gw, spec.capacity
@@ -131,8 +138,29 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     # Cell-plane build: ONE perm gather packs (pred, vel) into sorted order, then
     # the aligned-window + dynamic-roll kernel lays the runs out as slot planes
     # (2 gather slices per CELL instead of one per slot — see plane_build.py).
+    # In resident mode the same gather also carries the old positions and the
+    # bitcast ids, so no second particle-order gather ever happens.
     fills = (_SENTINEL, _SENTINEL, 0.0, 0.0)
-    sorted_packed = jnp.concatenate([pred, vel], axis=-1)[grid.perm]  # [n, 4]
+    chans = [pred, vel]
+    if resident:
+        if state.ids is None:
+            raise ValueError("resident step requires state.ids (state.with_ids())")
+        if n >= 1 << 23:
+            raise ValueError(
+                f"resident mode supports n < 2^23 (got {n}): ids ride a f32 "
+                "mantissa channel; use resident=False above that"
+            )
+        # Bias into the normal-float range before the bitcast: raw ids < 2^23
+        # bitcast to SUBNORMAL f32, which the TPU flushes to zero in fused data
+        # movement (observed: all ids zeroed after the first live frame).  OR-ing
+        # in exponent bits 0x3f800000 maps id k to the normal float 1.0 <= f < 2.0
+        # with k in the mantissa — bit-exact through any gather/concat.
+        idsf = jax.lax.bitcast_convert_type(
+            state.ids | jnp.int32(0x3F800000), jnp.float32
+        )
+        chans += [state.pos, idsf[:, None]]
+    packed = jnp.concatenate(chans, axis=-1)[grid.perm]
+    sorted_packed = packed[:, :4]  # (pred, vel), the plane-build channels
     cells = cell_planes_aos(sorted_packed, grid.starts, nc, C, fills, interpret)
     counts = grid.starts[1 : nc + 1] - grid.starts[:nc]  # [nc]
 
@@ -154,11 +182,28 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     # Overflow particles (beyond capacity) keep their post-gravity velocity.
     vel_s = jnp.where(in_table, pulled, sorted_packed[:, 2:4])
 
-    new_vel = vel_s[jnp.argsort(grid.perm)]  # inverse-perm gather, not scatter
-    pos = state.pos + new_vel * dt
-    pos, new_vel = K.bounce_bounds(pos, new_vel, params.bounds, params.damping_factor)
-    color = K.energy_color(new_vel, params.max_energy)
-    new_state = ParticleState(pos=pos, vel=new_vel, color=color, frame=state.frame)
+    if resident:
+        # Integrate/bounce/colour directly in sorted order; identity rides ids.
+        pos_s = packed[:, 4:6] + vel_s * dt
+        pos_s, vel_s = K.bounce_bounds(
+            pos_s, vel_s, params.bounds, params.damping_factor
+        )
+        color = K.energy_color(vel_s, params.max_energy)
+        ids_new = (
+            jax.lax.bitcast_convert_type(packed[:, 6], jnp.int32)
+            & jnp.int32(0x007FFFFF)  # strip the normalization exponent bias
+        )
+        new_state = ParticleState(pos=pos_s, vel=vel_s, color=color,
+                                  frame=state.frame, ids=ids_new)
+    else:
+        new_vel = vel_s[jnp.argsort(grid.perm)]  # inverse-perm gather, not scatter
+        pos = state.pos + new_vel * dt
+        pos, new_vel = K.bounce_bounds(
+            pos, new_vel, params.bounds, params.damping_factor
+        )
+        color = K.energy_color(new_vel, params.max_energy)
+        new_state = ParticleState(pos=pos, vel=new_vel, color=color,
+                                  frame=state.frame, ids=state.ids)
     if not want_planes:
         return new_state, grid.overflow
 
@@ -184,13 +229,20 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     return new_state, grid.overflow, planes
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+@functools.partial(jax.jit, static_argnames=("spec", "interpret", "resident"))
 def sph_step_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
-                    interpret: bool | None = None) -> ParticleState:
-    """Warm-up-honoring full frame; drop-in for grid_step/reference_step."""
+                    interpret: bool | None = None,
+                    resident: bool = False) -> ParticleState:
+    """Warm-up-honoring full frame; drop-in for grid_step/reference_step.
+
+    ``resident=True`` (requires ``state.ids``) returns the state in cell-sorted
+    order — the production configuration: it skips the per-frame inverse
+    permutation whose only purpose is cosmetic row ordering.  Recover the original
+    order any time with ``state.in_original_order()``."""
     stepped = jax.lax.cond(
         state.frame >= params.shader_delay,
-        lambda s: sph_physics_pallas(s, params, spec, interpret)[0],
+        lambda s: sph_physics_pallas(s, params, spec, interpret,
+                                     resident=resident)[0],
         lambda s: s,
         state,
     )
@@ -221,11 +273,12 @@ def state_planes(state: ParticleState, spec: GridSpec,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "render_spec", "bounds_static", "interpret")
+    jax.jit,
+    static_argnames=("spec", "render_spec", "bounds_static", "interpret", "resident"),
 )
 def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
                      render_spec, bounds_static: tuple | None = None,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, resident: bool = False):
     """Fused step + render: one frame of physics AND its image, sharing the binning.
 
     Returns (new_state, image).  The image is drawn from the frame's cell planes with
@@ -243,7 +296,7 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
 
     def live_frame(s):
         new_state, _overflow, planes = sph_physics_pallas(
-            s, params, spec, interpret, want_planes=True
+            s, params, spec, interpret, want_planes=True, resident=resident
         )
         return new_state, planes
 

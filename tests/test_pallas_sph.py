@@ -118,3 +118,44 @@ def test_pallas_pack2_odd_grid_width(rng):
     got = sph_step_pallas(state, params, spec_pk)
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), rtol=1e-3, atol=1e-2)
+
+
+def test_resident_step_matches_original_order(rng):
+    """Sorted-resident frames vs original-order frames, reordered back via ids.
+
+    Frame 1 is BITWISE equal (identical input rows -> identical sorted layout).
+    Later frames agree only to float tolerance: the stable sort breaks key ties by
+    input row order, so the resident state (rows already cell-sorted) assigns tied
+    particles to different lanes and pair sums accumulate in a different order —
+    the same determinism class as any input permutation of the non-resident step.
+    """
+    n = 400
+    pos, vel = _random_state(rng, n)
+    params = make_params(bounds=BOUNDS, gravity=100.0, shader_delay=0)
+    for spec in (
+        GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=32),
+        GridSpec.from_bounds(BOUNDS, cell_size=9.0, capacity=32, pack2=True),
+    ):
+        s_plain = make_state(pos, vel)
+        s_res = make_state(pos, vel).with_ids()
+        s_plain = sph_step_pallas(s_plain, params, spec)
+        s_res = sph_step_pallas(s_res, params, spec, resident=True)
+        back1 = s_res.in_original_order()
+        np.testing.assert_array_equal(np.asarray(back1.pos), np.asarray(s_plain.pos))
+        np.testing.assert_array_equal(np.asarray(back1.vel), np.asarray(s_plain.vel))
+
+        for _ in range(3):
+            s_plain = sph_step_pallas(s_plain, params, spec)
+            s_res = sph_step_pallas(s_res, params, spec, resident=True)
+        back = s_res.in_original_order()
+        assert np.array_equal(np.asarray(back.ids), np.arange(n))
+        np.testing.assert_allclose(
+            np.asarray(back.pos), np.asarray(s_plain.pos), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(back.vel), np.asarray(s_plain.vel), rtol=1e-3, atol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(back.color), np.asarray(s_plain.color), rtol=1e-2, atol=1e-2
+        )
+        assert int(back.frame) == int(s_plain.frame)
