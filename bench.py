@@ -170,8 +170,10 @@ def main() -> None:
     spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=64, cell_aspect=1,
                                 pack2=True)
     params = rps.make_params(bounds=BOUNDS, gravity=300.0, shader_delay=0)
-    state = uniform_init(jax.random.key(0), N, BOUNDS)
-    sph = jax.jit(lambda s: sph_step_pallas(s, params, spec), donate_argnums=0)
+    state = uniform_init(jax.random.key(0), N, BOUNDS).with_ids()
+    sph = jax.jit(
+        lambda s: sph_step_pallas(s, params, spec, resident=True), donate_argnums=0
+    )
     sph_elapsed, state = _time_loop(sph, state, FRAMES)
     sph_rate = FRAMES * N / sph_elapsed
 
