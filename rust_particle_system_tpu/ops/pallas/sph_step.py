@@ -306,10 +306,13 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     new_state, planes = jax.lax.cond(
         state.frame >= params.shader_delay, live_frame, frozen_frame, state
     )
+    # Patch margin: sprite radius bound + 1 px within-frame drift slack (capped at
+    # the classic 4).  Smaller max_radius_px => smaller patches => fewer pair lanes.
+    margin = min(4, render_spec.max_radius_px + 1)
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
-        interpret=interpret,
+        interpret=interpret, margin=margin,
     )
     return new_state._replace(frame=state.frame + 1), image
