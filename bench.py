@@ -36,7 +36,6 @@ from rust_particle_system_tpu.ops.pallas.sph_step import (
     sph_step_pallas,
 )
 from rust_particle_system_tpu.render import RenderSpec
-from rust_particle_system_tpu.render.splat_pallas import splat_pallas
 
 N = 1_000_000
 FRAMES = 20
@@ -205,10 +204,11 @@ def main() -> None:
     from rust_particle_system_tpu.ops.pallas.sph_step import sph_frame_pallas
 
     fused = jax.jit(
-        lambda s: sph_frame_pallas(s, params, spec, RenderSpec(), bounds_static=BOUNDS),
+        lambda s: sph_frame_pallas(s, params, spec, RenderSpec(), bounds_static=BOUNDS,
+                                   resident=True),
         donate_argnums=0,
     )
-    fstate2 = uniform_init(jax.random.key(2), N, BOUNDS)
+    fstate2 = uniform_init(jax.random.key(2), N, BOUNDS).with_ids()
     from rust_particle_system_tpu.runtime.timing import hsync
 
     fstate2, img = fused(fstate2)
@@ -220,18 +220,25 @@ def main() -> None:
     hsync((fstate2.pos, img))
     p50_frame_ms = (time.perf_counter() - t0) / 11 * 1e3
 
-    # Secondary: 1080p Pallas point-splat render of 1M sprites (in-jit x4 over
-    # distinct states, checksum output — see measure_phases for why).
-    rspec = RenderSpec(width=1920, height=1080, max_radius_px=4)
+    # Secondary: 1080p point-splat render of 1M sprites — the PRODUCTION
+    # raw-positions path (SPHFluid.render identity camera): cell-plane binning +
+    # MXU patch rasterizer (ops/pallas/sph_step.py::render_state_planes).
+    # In-jit x4 over distinct states, checksum output — see measure_phases for why.
+    from rust_particle_system_tpu.ops.pallas.sph_step import render_state_planes
+
+    rspec = RenderSpec(width=1920, height=1080, max_radius_px=2)  # radius 2 px below
     color = fstate.color
     rstates = [uniform_init(jax.random.key(50 + i), N, BOUNDS) for i in range(4)]
     rpos4 = jnp.stack([s.pos for s in rstates])
+    rparams = params._replace(particle_size=jnp.float32(2.0))
 
     @jax.jit
     def splat4(rpos4, color):
         def one(i, acc):
-            img = splat_pallas(rpos4[i], color, jnp.float32(2.0),
-                               jnp.asarray(BOUNDS, jnp.float32), rspec)
+            img = render_state_planes(
+                make_state(rpos4[i], color=color), rparams, spec, rspec,
+                bounds_static=BOUNDS,
+            )
             return acc + jnp.sum(img[::64, ::64, 0])
         return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
 

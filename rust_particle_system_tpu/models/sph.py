@@ -106,7 +106,18 @@ class SPHFluid:
 
     def render(self, state: ParticleState, params: SimParams, camera=None):
         """Render the state; ``camera`` is a traced (cx, cy, zoom) pan/zoom triple —
-        the per-frame view_proj analog (src/particle_buffers.rs:220-236)."""
+        the per-frame view_proj analog (src/particle_buffers.rs:220-236).
+
+        The pallas backend renders through the cell-plane patch rasterizer when the
+        camera is the identity (its patch grid is tied to the sim cells); any other
+        camera falls back to the general splat."""
+        if self.backend == "pallas" and camera is None and self.grid is not None:
+            from ..ops.pallas.sph_step import render_state_planes
+
+            return render_state_planes(
+                state, params, self.grid, self.render_spec,
+                bounds_static=self.bounds,
+            )
         return splat(
             state.pos, state.color, params.particle_size, params.bounds,
             self.render_spec, camera=camera,

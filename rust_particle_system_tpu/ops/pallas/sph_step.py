@@ -273,6 +273,42 @@ def state_planes(state: ParticleState, spec: GridSpec,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("spec", "render_spec", "bounds_static", "interpret")
+)
+def render_state_planes(state: ParticleState, params, spec: GridSpec, render_spec,
+                        bounds_static: tuple, interpret: bool | None = None):
+    """Standalone identity-camera render via the cell-plane patch rasterizer.
+
+    Bins the CURRENT positions + colours into cell planes (one sort + one gather +
+    the aligned-window plane kernel) and rasterizes them with the MXU patch splat —
+    the fastest raw-positions -> image path (the reference's render pass analog,
+    `src/particle_render.rs:65-107`).  Draws ``state.color`` as-is (matching the
+    general splat path).  Planes are exact (no post-binning drift), so the patch
+    margin is exactly ``render_spec.max_radius_px``."""
+    from ...render.splat_planes import MARGIN, splat_from_planes
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    gh, gw, C = spec.gh, spec.gw, spec.capacity
+    nc = spec.num_cells
+    grid = build_grid(spec, state.pos, with_table=False)
+    fills = (_SENTINEL, _SENTINEL, 0.0, 0.0, 0.0)
+    packed = jnp.concatenate([state.pos, state.color[:, :3]], axis=-1)[grid.perm]
+    cells = cell_planes_aos(packed, grid.starts, nc, C, fills, interpret)
+    counts = grid.starts[1 : nc + 1] - grid.starts[:nc]
+    live3 = (jnp.arange(C, dtype=jnp.int32)[None, None, :]
+             < counts.reshape(gh, gw, 1))
+    ch = tuple(cells[..., k].reshape(gh, gw, C) for k in range(5))
+    margin = min(MARGIN, render_spec.max_radius_px)
+    return splat_from_planes(
+        ch[0], ch[1], ch[2], ch[3], live3,
+        params.particle_size, params.max_energy,
+        bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
+        interpret=interpret, margin=margin, colors=(ch[2], ch[3], ch[4]),
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("spec", "render_spec", "bounds_static", "interpret", "resident"),
 )

@@ -136,11 +136,13 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
                       *, bounds_static: tuple, grid_spec: GridSpec,
                       render_spec: RenderSpec,
                       background=(0.0, 0.0, 0.0, 1.0), interpret: bool | None = None,
-                      margin: int | None = None):
+                      margin: int | None = None, colors=None):
     """Render from sim cell planes ([gh, gw, C] world-space pos + vel + live mask).
 
     Colours are the kinetic-energy ramp of (vx, vy), computed per slot — the same
-    per-particle colour the step writes into state (compute_shader.wgsl:101-118).
+    per-particle colour the step writes into state (compute_shader.wgsl:101-118) —
+    unless ``colors`` (an (r, g, b) tuple of [gh, gw, C] planes) supplies them
+    directly (the standalone render path, which must draw state.color as-is).
     Returns an [H, W, 4] image.  Requires the world->pixel scale to make pixel strides
     integral (true for the default 1 unit = 1 px mapping).
 
@@ -173,11 +175,15 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     # world -> pixel in plane space (elementwise); dead slots park far away
     ppx = jnp.where(live, (px - x_min) * sx_scale, _FAR)
     ppy = jnp.where(live, (y_max - py) * sy_scale, _FAR)
-    vel = jnp.stack([vx, vy], axis=-1)
-    rgb = energy_color(vel, max_energy)[..., :3]
-    r = jnp.where(live, rgb[..., 0], 0.0)
-    gcol = jnp.where(live, rgb[..., 1], 0.0)
-    b = jnp.where(live, rgb[..., 2], 0.0)
+    if colors is None:
+        vel = jnp.stack([vx, vy], axis=-1)
+        rgb = energy_color(vel, max_energy)[..., :3]
+        rgb = (rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    else:
+        rgb = colors
+    r = jnp.where(live, rgb[0], 0.0)
+    gcol = jnp.where(live, rgb[1], 0.0)
+    b = jnp.where(live, rgb[2], 0.0)
 
     nc = gh * gw
     nc_pad = _round_up(nc, _TC)

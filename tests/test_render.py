@@ -171,3 +171,27 @@ def test_camera_pan_zoom(rng):
     a = np.asarray(splat(pos, color, jnp.float32(2.0), b, spec, camera=cam))
     c = np.asarray(splat_pallas(pos, color, jnp.float32(2.0), b, spec, camera=cam))
     np.testing.assert_allclose(a, c, atol=1e-5)
+
+
+def test_model_render_planes_matches_oracle(rng):
+    """SPHFluid.render (pallas backend, identity camera) routes through the
+    cell-plane MXU rasterizer and must draw state.color exactly like the oracle
+    splat — including white warm-up colours that differ from the energy ramp."""
+    import jax
+
+    from rust_particle_system_tpu.models.sph import SPHFluid
+    from rust_particle_system_tpu.render.splat_jax import splat as splat_oracle
+
+    bounds = (-96.0, 96.0, -54.0, 54.0)
+    spec = RenderSpec(width=192, height=108, max_radius_px=2)
+    model = SPHFluid.create(n=500, bounds=bounds, backend="pallas",
+                            render_spec=spec)
+    state = model.init(jax.random.key(0), 500)
+    params = model.default_params()._replace(particle_size=jnp.float32(1.5))
+
+    got = np.asarray(model.render(state, params))
+    want = np.asarray(
+        splat_oracle(state.pos, state.color, params.particle_size,
+                     jnp.asarray(bounds, jnp.float32), spec)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
