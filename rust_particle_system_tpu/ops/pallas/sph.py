@@ -172,18 +172,20 @@ def _density_update(scal, own, nbrs, accs):
 def _force_update(scal, own, nbrs, accs):
     """Fused pressure (compute_shader.wgsl:256-334) + viscosity (:336-384).
 
-    Halo channels: (px, py, P1, NPn, vx, vy); own-only channel: NPo, where the
-    per-slot terms are P1 = p/ρ², NPo = np/ρ², NPn = np/(ρ·ρnear) (the reference's
-    ρ_j·ρnear_j quirk, :326-327) — see :func:`pressure_terms`.
+    Halo channels: (px, py, P1, NPn, vx, vy); own-only channel: NPo.  The per-slot
+    terms arrive PRE-SCALED by the derivative kernel norms (they depend on one
+    particle only, so the scalar multiplies hoist out of the pair loop):
+    P1 = α·p/ρ², NPo = β·np/ρ², NPn = β·np/(ρ·ρnear) with α = −2·density_norm,
+    β = −3·near_density_norm and the reference's ρ_j·ρnear_j quirk (:326-327) —
+    see :func:`pressure_terms`.
 
-    Scalars: (h, α, β, ε²) with α = −2·density_norm, β = −3·near_density_norm.
-    Per pair: mag = (P1ᵢ+P1ⱼ)·α·v + (NPoᵢ+NPnⱼ)·β·v²; force += (Δ/d)·mag with the
-    ε-direction (0,1) fallback realized as inv_d = 0 + a near-pair fy term.
-    Viscosity accumulates (Σ u³, Σ vxⱼ·u³, Σ vyⱼ·u³), u = max(h²−d², 0); the self
-    pair cancels in the finalize combination, and the self pressure term (a closed
-    form at d = 0) is subtracted there too.
+    Scalars: (h, ε²).  Per pair: mag = (P1ᵢ+P1ⱼ)·v + (NPoᵢ+NPnⱼ)·v²;
+    force += (Δ/d)·mag with the ε-direction (0,1) fallback realized as inv_d = 0 +
+    a near-pair fy term.  Viscosity accumulates (Σ u³, Σ vxⱼ·u³, Σ vyⱼ·u³),
+    u = max(h²−d², 0); the self pair cancels in the finalize combination, and the
+    self pressure term (a closed form at d = 0) is subtracted there too.
     """
-    h, alpha, beta, eps2 = scal[0], scal[1], scal[2], scal[3]
+    h, eps2 = scal[0], scal[1]
     ox, oy, oP1, _ovx, _ovy, oNPo = own[0], own[1], own[2], own[4], own[5], own[6]
     nx, ny, nP1, nNPn, nvx, nvy = nbrs
 
@@ -198,7 +200,7 @@ def _force_update(scal, own, nbrs, accs):
 
     pt = oP1[:, :, None] + nP1[:, None, :]
     nt = oNPo[:, :, None] + nNPn[:, None, :]
-    mag = pt * (alpha * v) + nt * (beta * vv)
+    mag = pt * v + nt * vv
     m = mag * inv_d
 
     u = jnp.maximum(h * h - d2, 0.0)
@@ -216,27 +218,38 @@ def _force_update(scal, own, nbrs, accs):
 def _force_finalize(scal, own, accs):
     """Subtract the self pressure term; combine the viscosity sums.
 
-    Self pair: d = 0 ⇒ near-pair fy fallback added mag_self = 2·P1ᵢ·α·h +
-    (NPoᵢ+NPnᵢ)·β·h² (the reference excludes self by index, :294-295).  Viscosity:
-    fv = Σⱼ vⱼ·u³ − vᵢ·Σⱼ u³ — the self term cancels exactly (u³ₛₑₗf·vᵢ both sides).
-    The viscosity kernel norm is NOT applied here; the caller folds it into the
-    velocity update scale.
+    Self pair: d = 0 ⇒ near-pair fy fallback added mag_self = 2·P1ᵢ·h +
+    (NPoᵢ+NPnᵢ)·h² (terms pre-scaled; the reference excludes self by index,
+    :294-295).  Viscosity: fv = Σⱼ vⱼ·u³ − vᵢ·Σⱼ u³ — the self term cancels
+    exactly (u³ₛₑₗf·vᵢ both sides).  The viscosity kernel norm is NOT applied
+    here; the caller folds it into the velocity update scale.
     """
-    h, alpha, beta = scal[0], scal[1], scal[2]
+    h = scal[0]
     oP1, oNPn, ovx, ovy, oNPo = own[2], own[3], own[4], own[5], own[6]
     fx, fy, S, Sx, Sy = accs
-    mag_self = (oP1 + oP1) * (alpha * h) + (oNPo + oNPn) * (beta * h * h)
+    mag_self = (oP1 + oP1) * h + (oNPo + oNPn) * (h * h)
     return fx, fy - mag_self, Sx - ovx * S, Sy - ovy * S
 
 
 def pressure_terms(rho, rhon, params):
-    """Per-slot pressure terms: (p/ρ², np/ρ², np/(ρ·ρnear)), guarded for empties."""
+    """Per-slot pressure terms, pre-scaled by the pair-loop scalars:
+    (α·p/ρ², β·np/ρ², β·np/(ρ·ρnear)), guarded for empties.
+
+    α = −2·density_kernel_norm, β = −3·near_density_kernel_norm — the derivative
+    norms of the spiky kernels (compute_shader.wgsl:165-199); folding them here
+    removes two scalar multiplies per pair from the force walk."""
     rho_safe = jnp.where(rho > 0, rho, 1.0)
     rhon_safe = jnp.where(rhon > 0, rhon, 1.0)
+    alpha = -2.0 * params.density_kernel_norm
+    beta = -3.0 * params.near_density_kernel_norm
     inv_rho2 = 1.0 / (rho_safe * rho_safe)
     p = (rho - params.target_density) * params.pressure_multiplier
     np_ = rhon * params.near_density_multiplier
-    return p * inv_rho2, np_ * inv_rho2, np_ / (rho_safe * rhon_safe)
+    return (
+        alpha * (p * inv_rho2),
+        beta * (np_ * inv_rho2),
+        beta * (np_ / (rho_safe * rhon_safe)),
+    )
 
 
 def density_scalars(params):
@@ -244,12 +257,10 @@ def density_scalars(params):
 
 
 def force_scalars(params):
-    """(h, α=−2·density_norm, β=−3·near_density_norm, ε²)."""
+    """(h, ε²) — the kernel norms ride the pre-scaled per-slot terms instead."""
     return jnp.stack(
         [
             params.smoothing_radius,
-            -2.0 * params.density_kernel_norm,
-            -3.0 * params.near_density_kernel_norm,
             jnp.float32(_EPS_DIST) ** 2,
         ]
     ).astype(jnp.float32)
