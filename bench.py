@@ -22,7 +22,12 @@ outputs.  Scan vs host loop is a wash for heavy frames (measured 65.5 ms both).
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -84,24 +89,35 @@ def measure_phases(spec, params, frame_ms):
     pos8 = jnp.stack([st.pos for st in states])
     vel8 = jnp.stack([st.vel for st in states])
 
+    ids = jnp.arange(N, dtype=jnp.int32)
+
     def predict(i):
         v = vel8[i] + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
         return pos8[i] + v * dt, v
 
     def upto_grid(i, acc):
         pred, _ = predict(i)
-        g = build_grid(spec, pred)
+        g = build_grid(spec, pred, with_table=False)
         return acc + jnp.sum(g.perm[::4096]).astype(jnp.float32)
 
-    def make_cells(i):
+    def make_packed(i):
+        # The resident production gather: (pred, vel, pos, biased-bitcast ids).
         pred, v = predict(i)
-        g = build_grid(spec, pred)
-        packed = jnp.concatenate([pred, v], -1)[g.perm]
-        packed = jnp.concatenate(
-            [packed, jnp.array([[1e6, 1e6, 0.0, 0.0]], jnp.float32)], 0)
-        t = g.table[:nc]
-        live = t >= 0
-        return packed[jnp.where(live, t, N)]
+        g = build_grid(spec, pred, with_table=False)
+        idsf = jax.lax.bitcast_convert_type(ids | jnp.int32(0x3F800000), jnp.float32)
+        return g, jnp.concatenate([pred, v, pos8[i], idsf[:, None]], -1)[g.perm]
+
+    def upto_gather(i, acc):
+        _g, packed = make_packed(i)
+        return acc + jnp.sum(packed[::4096, 0])
+
+    def make_cells(i):
+        from rust_particle_system_tpu.ops.pallas.plane_build import cell_planes_aos
+        from rust_particle_system_tpu.ops.pallas.sph_step import _SENTINEL
+
+        g, packed = make_packed(i)
+        fills = (_SENTINEL, _SENTINEL, 0.0, 0.0)
+        return cell_planes_aos(packed[:, :4], g.starts, nc, C, fills, False)
 
     def upto_planes(i, acc):
         return acc + jnp.sum(make_cells(i)[::512, ::32, 0])
@@ -120,11 +136,13 @@ def measure_phases(spec, params, frame_ms):
         return (time.perf_counter() - t0) / R * 1e3
 
     t_grid = timed(upto_grid)
+    t_gather = timed(upto_gather)
     t_planes = timed(upto_planes)
     t_forces = timed(upto_forces)
     return {
         "grid_build_ms": round(t_grid, 2),
-        "plane_gather_ms": round(t_planes - t_grid, 2),
+        "perm_gather_ms": round(t_gather - t_grid, 2),
+        "plane_kernel_ms": round(t_planes - t_gather, 2),
         "force_kernels_ms": round(t_forces - t_planes, 2),
         "tail_ms": round(frame_ms - t_forces, 2),
         "protocol": "in-jit x8 cumulative prefixes; tail = frame - prefix",
@@ -173,14 +191,17 @@ def main() -> None:
     sph = jax.jit(
         lambda s: sph_step_pallas(s, params, spec, resident=True), donate_argnums=0
     )
+    _progress("headline...")
     sph_elapsed, state = _time_loop(sph, state, FRAMES)
     sph_rate = FRAMES * N / sph_elapsed
 
     # Pair-work efficiency (VERDICT r1 #2): issued slot-pairs per walk vs pairs
     # actually within the smoothing radius.
+    _progress("pair_efficiency...")
     issued, useful = pair_efficiency(spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
 
     # Per-phase breakdown (VERDICT r1 #7).
+    _progress("phases...")
     phases = measure_phases(spec, params, sph_elapsed / FRAMES * 1e3)
 
     # Secondary: config-2 flow-field fused integrate at 1M, scanned (one dispatch
@@ -189,6 +210,7 @@ def main() -> None:
     from rust_particle_system_tpu.runtime.simulation import run_frames
     from rust_particle_system_tpu.runtime.timing import hsync
 
+    _progress("flow...")
     fparams = make_flow_params(bounds=BOUNDS)
     fstate = uniform_init(jax.random.key(1), N, BOUNDS)
     FLOW_FRAMES = 100
@@ -208,6 +230,7 @@ def main() -> None:
                                    resident=True),
         donate_argnums=0,
     )
+    _progress("fused...")
     fstate2 = uniform_init(jax.random.key(2), N, BOUNDS).with_ids()
     from rust_particle_system_tpu.runtime.timing import hsync
 
@@ -242,6 +265,7 @@ def main() -> None:
             return acc + jnp.sum(img[::64, ::64, 0])
         return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
 
+    _progress("splat...")
     hsync(splat4(rpos4, color))
     t0 = time.perf_counter()
     hsync(splat4(rpos4, color))
