@@ -1,0 +1,349 @@
+"""Prototype: plane-resident REBIN via staged log-shift compaction (round-3 path).
+
+The production frame spends ~19 ms/frame at 1M on re-binning (sort 4.9 + perm
+gather 4.9 + plane-build kernel 9.3) because state lives in a 1-D particle stream.
+If state stays PLANE-RESIDENT (cell planes [nc, C] across frames), the rebin turns
+local: CFL bounds per-frame movement to one cell, so a cell's new occupants come
+from its 3x3 neighborhood only.  This prototype implements that rebin as one Pallas
+kernel over slot-level SoA channel windows, built from two lane-parallel primitives:
+
+* staged COMPACTION: pack the kept candidates of a 3C-lane window left,
+  order-preserving.  Each kept element's displacement = #holes before it (an
+  in-kernel lane cumsum); decompose it into bits and apply static 2^j left-rotates
+  with per-lane selects — no gathers, no scalar loops.  (Validated standalone:
+  0/2000 random failures against a numpy oracle.)
+* staged MERGE: place the three per-source-row fragments at dynamic per-cell
+  offsets (0, n0, n0+n1) via the log-roll trick (static-shift stages + per-sublane
+  bit selects) — the ops/pallas/plane_build.py machinery.
+
+Inputs: per channel, three windowed arrays W[dy] [nc, 3C] (cells c-1, c, c+1 of
+source row r+dy), built by shifted slices of ghost-padded planes.  Keying matches
+ops/grid.py::cell_coords exactly (floor + clip, division form).  Outputs: dest
+channel planes [nc, C] + per-cell candidate counts (count > C == overflow,
+dropped from the tail like the stream path's capacity overflow).
+
+Run: python protos/rebin_roll.py            (CPU interpret: oracle equality)
+     python protos/rebin_roll.py --tpu      (adds a 26k-cell / 1M-slot timing)
+
+MEASURED (v5e-1, round 2 final): correctness EXACT at all tried shapes (incl.
+>1-cell drift, where both kernel and oracle drop 3x3 escapees identically), but
+22.0 ms at the production 26k-cell/C=64/k=5 scale with SUB=8 (30.2 ms with
+SUB=32 — wider lane-rolls cost MORE, matching the [128,512]-roll pathology).
+That is break-even with the 19.1 ms of stream re-binning it replaces (+~4 ms of
+pull-back tail it would also eliminate).  The cost is latency-chained lane
+rolls: 2 x 8 compaction stages x (k+2 rolls) with serial d/kp dependencies.
+Round-3 leads, in order of expected value:
+  1. compact ONE index channel (3 rolls/stage instead of k+2=7), then apply the
+     compacted permutation to the k value channels with a per-cell one-hot
+     matmul [C, 3C] @ [3C, k] on the MXU (build one-hot from iota==idx);
+  2. interleave the 3 dy fragments' stages (they are fully independent — the
+     current code runs them sequentially inside body());
+  3. split stay/immigrant paths: stayers (C lanes, 6 stages) dominate counts,
+     immigrants are rare — but both still pay full-width rolls, so this helps
+     only if combined with (1).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BC = 128  # dest cells per program
+SUB = 8  # dest cells per vectorized batch
+_SENT = 1.0e6
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def make_rebin_kernel(C: int, k: int, gw: int, gh: int, x_min: float,
+                      y_min: float, cell_w: float, cell_h: float):
+    """[3 dy][k ch] windows [BC, 3C] -> k dest planes [BC, C] + counts [BC, 1]."""
+    W3 = 3 * C
+    nbits_c = max(1, (W3 - 1).bit_length())
+    nbits_m = max(1, (2 * C - 1).bit_length())
+
+    def kernel(*refs):
+        wins = refs[: 3 * k]  # dy-major: wins[dy * k + ch]
+        outs = refs[3 * k : 3 * k + k]
+        cnt_ref = refs[3 * k + k]
+        t = pl.program_id(0)
+
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (SUB, W3), 1)
+        slot_cell = lane3 // C  # 0, 1, 2 within the window
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 1)
+
+        def body(i, _):
+            r0 = i * SUB
+            cell = t * BC + r0 + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+            cy_dest = cell // gw
+            cx_dest = cell - cy_dest * gw
+
+            frags = []
+            for dy in range(3):
+                ch = [wins[dy * k + c][pl.ds(r0, SUB), :] for c in range(k)]
+                # keying == ops/grid.py::cell_coords (floor + clip, division form)
+                kx = jnp.floor((ch[0] - x_min) / cell_w).astype(jnp.int32)
+                ky = jnp.floor((ch[1] - y_min) / cell_h).astype(jnp.int32)
+                kx = jnp.clip(kx, 0, gw - 1)
+                ky = jnp.clip(ky, 0, gh - 1)
+                # keep iff the candidate's NEW key is the dest cell; live test
+                # first — sentinel slots clip to the grid's bottom-right cell
+                # and would otherwise be adopted by it
+                keep = ((ch[0] < 0.5 * _SENT) & (kx == cx_dest)
+                        & (ky == cy_dest))
+
+                holes = jnp.where(keep, 0, 1)
+                # inclusive prefix sum via log-shift adds (Mosaic has no cumsum):
+                # x += zero-filled right-shift of x by 2^j
+                psum = holes
+                for j in range(nbits_c):
+                    s = 1 << j
+                    if s >= W3:
+                        break
+                    shifted = pltpu.roll(psum, shift=s, axis=1)
+                    psum = psum + jnp.where(lane3 < s, 0, shifted)
+                d = jnp.where(keep, psum - holes, 0)
+                kp = jnp.where(keep, 1, 0)  # i32 — Mosaic can't roll bools
+                for j in range(nbits_c):
+                    s = 1 << j
+                    if s >= W3:
+                        break
+                    sh = W3 - s  # left-rotate by s
+                    ds = pltpu.roll(d, shift=sh, axis=1)
+                    ks = pltpu.roll(kp, shift=sh, axis=1)
+                    take = (ks == 1) & (((ds >> j) & 1) == 1)
+                    stay = (kp == 1) & (((d >> j) & 1) == 0)
+                    ch = [
+                        jnp.where(take, pltpu.roll(c_, shift=sh, axis=1), c_)
+                        for c_ in ch
+                    ]
+                    d = jnp.where(take, ds & ~s, jnp.where(stay, d, 0))
+                    kp = jnp.where(take | stay, 1, 0)
+                n = jnp.sum(holes == 0, axis=1, keepdims=True).astype(jnp.int32)
+                frags.append((ch, n))
+
+            (ch0, n0), (ch1, n1), (ch2, n2) = frags
+            off1, off2 = n0, n0 + n1
+
+            def place(ch, off):
+                res = []
+                for c_ in ch:
+                    x = c_
+                    for j in range(nbits_m):
+                        s = 1 << j
+                        bit = (off >> j) & 1
+                        x = jnp.where(bit == 1, pltpu.roll(x, shift=s, axis=1), x)
+                    res.append(x)
+                return res
+
+            ch1p = place(ch1, off1)
+            ch2p = place(ch2, off2)
+            total = off2 + n2
+            for c in range(k):
+                merged = jnp.where(
+                    laneC < off1, ch0[c][:, :C],
+                    jnp.where(laneC < off2, ch1p[c][:, :C], ch2p[c][:, :C]),
+                )
+                outs[c][pl.ds(r0, SUB), :] = jnp.where(
+                    laneC < total, merged, jnp.float32(_SENT) if c < 2 else 0.0
+                )
+            cnt_ref[pl.ds(r0, SUB), :] = total
+            return 0
+
+        jax.lax.fori_loop(0, BC // SUB, body, 0)
+
+    return kernel
+
+
+def rebin_planes(planes, counts, spec_like, interpret=True):
+    """planes: [k][gh, gw, C] channel planes (ch 0/1 = keying x/y; dead slots must
+    carry sentinel positions).  Returns (new_planes [k][gh, gw, C], counts [gh*gw])."""
+    gh, gw, C = planes[0].shape
+    k = len(planes)
+    nc = gh * gw
+    x_min, y_min = spec_like["x_min"], spec_like["y_min"]
+    cell_w, cell_h = spec_like["cell_w"], spec_like["cell_h"]
+
+    nc_pad = _round_up(nc, BC)
+
+    def windows(p):
+        # ghost-pad one cell column/row of sentinels, then three shifted views
+        flat = p.reshape(nc, C)
+        if nc_pad > nc:
+            flat = jnp.concatenate(
+                [flat, jnp.full((nc_pad - nc, C), _SENT, p.dtype)])
+        ghost = jnp.full((1, C), _SENT, p.dtype)
+        g2 = jnp.concatenate([ghost, flat, ghost])  # [nc_pad + 2, C]
+        row = jnp.concatenate([g2[:-2], g2[1:-1], g2[2:]], axis=1)  # [nc_pad, 3C]
+        return row
+
+    outs = []
+    for dy in (-1, 0, 1):
+        for c in range(k):
+            p = planes[c].reshape(nc, C)
+            # source row r+dy: shift the flat cell stream by dy*gw cells
+            shift = dy * gw
+            if shift == 0:
+                src = p
+            elif shift < 0:
+                src = jnp.concatenate(
+                    [jnp.full((-shift, C), _SENT if c < 2 else 0.0, p.dtype),
+                     p[:shift]])
+            else:
+                src = jnp.concatenate(
+                    [p[shift:],
+                     jnp.full((shift, C), _SENT if c < 2 else 0.0, p.dtype)])
+            outs.append(windows(src.reshape(gh, gw, C)))
+
+    kern = make_rebin_kernel(C, k, gw, gh, x_min, y_min, cell_w, cell_h)
+    win_spec = pl.BlockSpec((BC, 3 * C), lambda t: (t, 0))
+    out_specs = tuple([pl.BlockSpec((BC, C), lambda t: (t, 0))] * k
+                      + [pl.BlockSpec((BC, 1), lambda t: (t, 0))])
+    res = pl.pallas_call(
+        kern,
+        grid=(nc_pad // BC,),
+        in_specs=[win_spec] * (3 * k),
+        out_specs=out_specs,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nc_pad, C), jnp.float32)] * k
+            + [jax.ShapeDtypeStruct((nc_pad, 1), jnp.int32)]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*outs)
+    new_planes = [r[:nc].reshape(gh, gw, C) for r in res[:k]]
+    return new_planes, res[k][:nc, 0]
+
+
+def oracle_rebin(planes, spec_like):
+    """Numpy oracle: exact rebin by key, source order (row-1, row, row+1) x lane."""
+    gh, gw, C = planes[0].shape
+    k = len(planes)
+    x_min, y_min = spec_like["x_min"], spec_like["y_min"]
+    cell_w, cell_h = spec_like["cell_w"], spec_like["cell_h"]
+    ps = [np.asarray(p).reshape(gh * gw, C) for p in planes]
+    out = [np.full((gh * gw, C), _SENT if c < 2 else 0.0, np.float32)
+           for c in range(k)]
+    counts = np.zeros(gh * gw, np.int64)
+    buckets = [[] for _ in range(gh * gw)]
+    for cell in range(gh * gw):
+        for s in range(C):
+            x, y = ps[0][cell, s], ps[1][cell, s]
+            if x >= _SENT:
+                continue
+            kx = min(max(int(np.floor((x - x_min) / cell_w)), 0), gw - 1)
+            ky = min(max(int(np.floor((y - y_min) / cell_h)), 0), gh - 1)
+            buckets[ky * gw + kx].append((cell, s))
+    for cell in range(gh * gw):
+        cy, cx = divmod(cell, gw)
+        sel = []
+        for dy in (-1, 0, 1):
+            for (src, s) in buckets[cell]:
+                sy, sx = divmod(src, gw)
+                if sy == cy + dy and abs(sx - cx) <= 1:
+                    sel.append((sy, src, s))
+        sel.sort(key=lambda t: (t[0], t[1], t[2]))
+        counts[cell] = len(sel)
+        for i, (_, src, s) in enumerate(sel[:C]):
+            for c in range(k):
+                out[c][cell, i] = ps[c][src, s]
+    return [o.reshape(gh, gw, C) for o in out], counts
+
+
+def _demo_state(rng, gh, gw, C, fill_frac, spec_like, drift):
+    """Planes of particles binned correctly, then drifted by <= one cell."""
+    x_min, y_min = spec_like["x_min"], spec_like["y_min"]
+    cw, chh = spec_like["cell_w"], spec_like["cell_h"]
+    px = np.full((gh, gw, C), _SENT, np.float32)
+    py = np.full((gh, gw, C), _SENT, np.float32)
+    vx = np.zeros((gh, gw, C), np.float32)
+    ids = np.zeros((gh, gw, C), np.float32)
+    nid = 0
+    for cy in range(gh):
+        for cx in range(gw):
+            n = rng.binomial(C, fill_frac)
+            for s in range(n):
+                x = x_min + (cx + rng.random()) * cw
+                y = y_min + (cy + rng.random()) * chh
+                # drift up to `drift` cells in each axis (may cross a boundary)
+                px[cy, cx, s] = x + (rng.random() * 2 - 1) * drift * cw
+                py[cy, cx, s] = y + (rng.random() * 2 - 1) * drift * chh
+                vx[cy, cx, s] = rng.standard_normal()
+                ids[cy, cx, s] = float(nid)
+                nid += 1
+    return [jnp.asarray(p) for p in (px, py, vx, ids)]
+
+
+def main():
+    tpu = "--tpu" in sys.argv
+    rng = np.random.default_rng(0)
+    spec_like = {"x_min": -90.0, "y_min": -45.0, "cell_w": 9.0, "cell_h": 9.0}
+    gh, gw, C = 10, 20, 16
+    planes = _demo_state(rng, gh, gw, C, 0.5, spec_like, drift=0.9)
+    new_planes, counts = rebin_planes(planes, None, spec_like, interpret=not tpu)
+    want_planes, want_counts = oracle_rebin(planes, spec_like)
+    for c in range(len(planes)):
+        got, want = np.asarray(new_planes[c]), np.asarray(want_planes[c])
+        assert np.array_equal(got, want), f"channel {c} mismatch"
+    got_counts = np.minimum(np.asarray(counts), 10 ** 9)
+    assert np.array_equal(got_counts, want_counts), "counts mismatch"
+    print(f"correctness: OK (gh={gh} gw={gw} C={C}, "
+          f"{int(want_counts.sum())} particles, exact equality)")
+
+    if tpu:
+        # production scale: 26k cells, C=64, k=5 channels, ~1M live slots
+        spec_like = {"x_min": -960.0, "y_min": -540.0, "cell_w": 9.0,
+                     "cell_h": 9.0}
+        gh2, gw2, C2 = 121, 214, 64
+        nc2 = gh2 * gw2
+        frac = 1_000_000 / (nc2 * C2)
+        kx, ky2 = jax.random.split(jax.random.key(0))
+        base_x = jax.random.uniform(kx, (gh2, gw2, C2), minval=0.0, maxval=9.0)
+        base_y = jax.random.uniform(ky2, (gh2, gw2, C2), minval=0.0, maxval=9.0)
+        ox = spec_like["x_min"] + jnp.arange(gw2)[None, :, None] * 9.0
+        oy = spec_like["y_min"] + jnp.arange(gh2)[:, None, None] * 9.0
+        live = jax.random.uniform(jax.random.key(2), (gh2, gw2, C2)) < frac
+        drift = jax.random.uniform(jax.random.key(3), (2, gh2, gw2, C2),
+                                   minval=-1.3, maxval=1.3)
+        px = jnp.where(live, base_x + ox + drift[0], _SENT)
+        py = jnp.where(live, base_y + oy + drift[1], _SENT)
+        extra = [jax.random.normal(jax.random.key(10 + i), (gh2, gw2, C2))
+                 for i in range(3)]
+        planes2 = [px, py] + extra
+
+        fn = jax.jit(lambda ps: rebin_planes(ps, None, spec_like,
+                                             interpret=False)[0][0])
+        from rust_particle_system_tpu.runtime.timing import hsync
+
+        t0 = time.perf_counter()
+        hsync(fn(planes2))
+        print(f"compile+first: {time.perf_counter() - t0:.1f} s")
+        R = 8
+        ps8 = [jnp.stack([p + (0.001 * i if c >= 2 else 0.0)
+                          for i in range(R)])
+               for c, p in enumerate(planes2)]
+        loop = jax.jit(lambda ps8: jax.lax.fori_loop(
+            0, R,
+            lambda i, acc: acc + jnp.sum(
+                rebin_planes([p[i] for p in ps8], None, spec_like,
+                             interpret=False)[0][0][::32, ::32, 0]),
+            jnp.float32(0)))
+        hsync(loop(ps8))
+        t0 = time.perf_counter()
+        hsync(loop(ps8))
+        per = (time.perf_counter() - t0) / R * 1e3
+        print(f"rebin @ {nc2} cells / C={C2} / k=5: {per:.2f} ms "
+              f"(replaces sort 4.9 + gather 4.9 + plane kernel 9.3 = 19.1)")
+
+
+if __name__ == "__main__":
+    main()
