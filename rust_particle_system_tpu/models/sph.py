@@ -41,6 +41,7 @@ class SPHFluid:
         backend: str = "auto",
         render_spec: RenderSpec | None = None,
         capacity_safety: float = 16.0,
+        pack2: bool = False,
     ) -> "SPHFluid":
         if backend == "auto":
             # Pallas force kernels on TPU; the pure-JAX grid path elsewhere.
@@ -57,24 +58,25 @@ class SPHFluid:
                 capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
             grid = GridSpec.from_bounds(bounds, cell_size, capacity)
         elif backend == "pallas":
-            # Prefer the pair-packed layout (two aspect-1 cells per 128-lane row,
-            # 6 neighbor offsets instead of 9 — ops/pallas/sph.py) whenever 64
-            # slots give at least ~1.6x headroom over the average occupancy;
-            # otherwise fall back to wide cells filling the classic 128-slot lane
-            # tile.  Overflowing cells only lose force contributions (counted,
-            # surfaced by Simulation.stats) — heavily clustered initial states
-            # should pass an explicit ``capacity``.
+            # Default: the settle-SAFE layout — aspect-1 cells with the full
+            # 128-slot lane tile.  Under the default params, gravity settles the
+            # fluid into pools of ~101 particles per 9x9 cell (measured at
+            # equilibrium, independent of n), which overflows both the 64-slot
+            # pair-packed layout and any widened (aspect > 1) cell.  Overflow is
+            # worse than slow: overflowing particles lose pressure forces,
+            # free-fall, and densify the pile further (a feedback loop — a 50k
+            # run reached 12.6k dropped particles on the old pack2 default).
+            #
+            # The ~2x-faster pair-packed layout (two cells per lane row, 6
+            # neighbor offsets — ops/pallas/sph.py) is an explicit opt-in via
+            # ``capacity=64, pack2=True`` for regimes whose density profile
+            # provably stays under 64/cell (low gravity, short horizons, tuned
+            # target_density).  bench.py's uniform 20-frame headline is one.
             if capacity is None:
-                if suggest_capacity(n, bounds, cell_size, safety=1.6) <= 64:
-                    grid = GridSpec.from_bounds(bounds, cell_size, 64, pack2=True)
-                else:
-                    per_cell = suggest_capacity(n, bounds, cell_size,
-                                                safety=capacity_safety)
-                    aspect = max(1, min(4, 128 // max(per_cell, 1)))
-                    grid = GridSpec.from_bounds(bounds, cell_size, 128,
-                                                cell_aspect=aspect)
+                grid = GridSpec.from_bounds(bounds, cell_size, 128)
             else:
-                grid = GridSpec.from_bounds(bounds, cell_size, capacity)
+                grid = GridSpec.from_bounds(bounds, cell_size, capacity,
+                                            pack2=pack2)
         return cls(
             grid=grid,
             render_spec=render_spec or RenderSpec(),
