@@ -34,6 +34,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..core import kernels as K
 from ..core.params import SimParams
+from ..ops.pallas.plane_build import cell_planes_aos
 from ..ops.pallas.sph import (
     _SENTINEL,
     density_planes,
@@ -107,10 +108,11 @@ def exchange_halo(top_row, bottom_row, axis: str, n_bands: int):
 # ----------------------------------------------------------------------------------
 
 def _build_local_grid(local_keys, spec: ShardSpec):
-    """Sort band-local keys; return (perm, sorted_keys, slot, table, overflow).
+    """Sort band-local keys; return (perm, sorted_keys, slot, starts, overflow).
 
-    ``local_keys`` in [0, LC) for live particles, LC (trash) for empty slots.
-    ``table`` is [LC + 1, C] (last row = trash, never referenced by neighbor ids).
+    ``local_keys`` in [0, LC) for live particles, LC (trash) for empty slots;
+    trash sorts after every live run, so ``starts`` ([LC + 1], run starts) bounds
+    live cells exactly and feeds the aligned-window plane build directly.
     """
     LC, C = spec.local_cells, spec.grid.capacity
     cap = local_keys.shape[0]
@@ -120,15 +122,7 @@ def _build_local_grid(local_keys, spec: ShardSpec):
     slot = jnp.arange(cap, dtype=jnp.int32) - starts[jnp.minimum(ks, LC)].astype(jnp.int32)
     live = ks < LC
     overflow = jnp.sum(live & (slot >= C)).astype(jnp.int32)
-    # Arithmetic slot table (no scatter — scatters serialize on TPU):
-    # table[c, s] = starts[c] + s while within the run; trash row stays empty.
-    ends = jnp.concatenate([starts[1:], jnp.full((1,), cap, jnp.int32)])
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (LC + 1, C), 1)
-    rows = starts[:, None] + sidx
-    in_run = rows < ends[:, None]
-    table = jnp.where(in_run, rows, -1)
-    table = table.at[LC].set(-1)  # static row wipe (cheap)
-    return perm, ks, slot, table, overflow
+    return perm, ks, slot, starts, overflow
 
 
 # ----------------------------------------------------------------------------------
@@ -199,17 +193,19 @@ def _local_physics(pos, vel, color, valid, params: SimParams, *, spec: ShardSpec
     )
     local_cy = jnp.clip(cy - band * R, 0, R - 1)
     local_keys = jnp.where(valid, local_cy * gw + cx, LC)
-    perm, ks, slot, table, grid_overflow = _build_local_grid(local_keys, spec)
+    perm, ks, slot, starts, grid_overflow = _build_local_grid(local_keys, spec)
 
-    # 4. cell planes via ONE wide (pred, vel) gather, exactly like the single-chip
-    # Pallas step, but with halo ghost rows coming from ppermute instead of padding.
+    # 4. cell planes: one perm gather + the aligned-window dynamic-roll kernel,
+    # exactly like the single-chip step (a per-slot table gather costs ~8 ns per
+    # SLOT — 64x more index traffic), with halo ghost rows coming from ppermute
+    # instead of padding.
     cp, tc, wt = plane_geometry(gw, C)
     packed = jnp.concatenate([pred, vel], axis=-1)[perm]  # [cap, 4] sorted
-    fills = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], jnp.float32)
-    packed = jnp.concatenate([packed, fills[None, :]], axis=0)
-    tbl = table[:LC]
-    live = tbl >= 0  # [LC, C]
-    cells = packed[jnp.where(live, tbl, cap)]  # [LC, C, 4]
+    cells = cell_planes_aos(
+        packed, starts, LC, C, (_SENTINEL, _SENTINEL, 0.0, 0.0), interpret
+    )  # [LC, C, 4]
+    counts = jnp.minimum(starts[1 : LC + 1] - starts[:LC], C)
+    live = jnp.arange(C, dtype=jnp.int32)[None, :] < counts[:, None]  # [LC, C]
 
     def row_slices(x):
         """(top cell-row, bottom cell-row) of an [LC, C(,k)] cell array."""
