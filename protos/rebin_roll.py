@@ -26,21 +26,29 @@ Run: python protos/rebin_roll.py            (CPU interpret: oracle equality)
      python protos/rebin_roll.py --tpu      (adds a 26k-cell / 1M-slot timing)
 
 MEASURED (v5e-1, round 2 final): correctness EXACT at all tried shapes (incl.
->1-cell drift, where both kernel and oracle drop 3x3 escapees identically), but
-22.0 ms at the production 26k-cell/C=64/k=5 scale with SUB=8 (30.2 ms with
-SUB=32 — wider lane-rolls cost MORE, matching the [128,512]-roll pathology).
-That is break-even with the 19.1 ms of stream re-binning it replaces (+~4 ms of
-pull-back tail it would also eliminate).  The cost is latency-chained lane
-rolls: 2 x 8 compaction stages x (k+2 rolls) with serial d/kp dependencies.
-Round-3 leads, in order of expected value:
-  1. compact ONE index channel (3 rolls/stage instead of k+2=7), then apply the
-     compacted permutation to the k value channels with a per-cell one-hot
-     matmul [C, 3C] @ [3C, k] on the MXU (build one-hot from iota==idx);
-  2. interleave the 3 dy fragments' stages (they are fully independent — the
-     current code runs them sequentially inside body());
-  3. split stay/immigrant paths: stayers (C lanes, 6 stages) dominate counts,
-     immigrants are rare — but both still pay full-width rolls, so this helps
-     only if combined with (1).
+>1-cell drift, where both kernel and oracle drop 3x3 escapees identically).
+Production scale (26k cells / C=64 / k=5):
+  v1 (per-dy compaction carrying all channels + log-roll merge): 22.0 ms at
+     SUB=8; 30.2 ms at SUB=32 — wider lane-rolls cost MORE, matching the
+     [128,512]-roll pathology.  Cost = latency-chained lane rolls, 2x8 stages x
+     (k+2 rolls) x 3 fragments with serial d/kp dependencies.
+  v2 (make_rebin_kernel_v2: ONE index-only compaction over the unified 9C
+     window — 3 rolls/stage, no merge — then one batched one-hot matmul
+     [k, 9C] x [9C, C] per SUB batch applying the permutation on the MXU):
+     18.5 ms.  Better, but still latency-bound on the single 2x10-stage chain.
+Both are ~break-even with the 19.1 ms of stream re-binning they replace (+~4 ms
+of pull-back tail that plane-residency would also eliminate) — so plane-resident
+state is NOT yet a win; integration deferred until the kernel clearly beats the
+stream path.  Round-3 leads: interleave independent SUB batches inside body()
+(the stage chains are the bottleneck and fully independent across batches);
+halve stages by compacting at HALF resolution (pairs of lanes) + one fixup; or
+find a Mosaic primitive cheaper than lane-roll for static shifts.
+
+PRECISION NOTE: dot_general in a TPU Pallas kernel at default precision runs
+bf16 (discovered here: one-hot gathers returned bf16-rounded values, ulp 0.5 at
+|x|~90).  Every f32 kernel matmul must pass precision=HIGHEST — this also
+applied to the production splat kernel (fixed in the same commit; HIGHEST cost
+nothing measurable there).
 """
 
 from __future__ import annotations
@@ -163,7 +171,93 @@ def make_rebin_kernel(C: int, k: int, gw: int, gh: int, x_min: float,
     return kernel
 
 
-def rebin_planes(planes, counts, spec_like, interpret=True):
+def make_rebin_kernel_v2(C: int, k: int, gw: int, gh: int, x_min: float,
+                         y_min: float, cell_w: float, cell_h: float):
+    """v2: ONE index-only compaction over the unified 9C window + one-hot MXU apply.
+
+    v1 pays (k+2) lane-rolls per compaction stage across 3 separate fragments plus
+    a merge; here only (idx, d, kp) ride the stages (3 rolls/stage, one 10-stage
+    chain over all 9C candidates, no merge), and the k value channels are applied
+    at the end with one batched [k, 9C] x [9C, C] one-hot matmul per SUB batch —
+    output lands channels-on-sublanes, slots-on-lanes, the store-friendly layout.
+    """
+    W9 = 9 * C
+    nbits_c = max(1, (W9 - 1).bit_length())
+
+    def kernel(*refs):
+        wins = refs[: 3 * k]
+        outs = refs[3 * k : 3 * k + k]
+        cnt_ref = refs[3 * k + k]
+        t = pl.program_id(0)
+
+        lane9 = jax.lax.broadcasted_iota(jnp.int32, (SUB, W9), 1)
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 1)
+
+        def body(i, _):
+            r0 = i * SUB
+            cell = t * BC + r0 + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+            cy_dest = cell // gw
+            cx_dest = cell - cy_dest * gw
+
+            cat = lambda c: jnp.concatenate(
+                [wins[dy * k + c][pl.ds(r0, SUB), :] for dy in range(3)], axis=1)
+            x9, y9 = cat(0), cat(1)
+            kx = jnp.clip(jnp.floor((x9 - x_min) / cell_w).astype(jnp.int32),
+                          0, gw - 1)
+            ky = jnp.clip(jnp.floor((y9 - y_min) / cell_h).astype(jnp.int32),
+                          0, gh - 1)
+            keep = (x9 < 0.5 * _SENT) & (kx == cx_dest) & (ky == cy_dest)
+
+            holes = jnp.where(keep, 0, 1)
+            psum = holes
+            for j in range(nbits_c):
+                s = 1 << j
+                if s >= W9:
+                    break
+                psum = psum + jnp.where(
+                    lane9 < s, 0, pltpu.roll(psum, shift=s, axis=1))
+            d = jnp.where(keep, psum - holes, 0)
+            kp = jnp.where(keep, 1, 0)
+            idx = lane9
+            for j in range(nbits_c):
+                s = 1 << j
+                if s >= W9:
+                    break
+                sh = W9 - s
+                ds = pltpu.roll(d, shift=sh, axis=1)
+                ks = pltpu.roll(kp, shift=sh, axis=1)
+                take = (ks == 1) & (((ds >> j) & 1) == 1)
+                stay = (kp == 1) & (((d >> j) & 1) == 0)
+                idx = jnp.where(take, pltpu.roll(idx, shift=sh, axis=1), idx)
+                d = jnp.where(take, ds & ~s, jnp.where(stay, d, 0))
+                kp = jnp.where(take | stay, 1, 0)
+            total = jnp.sum(holes == 0, axis=1, keepdims=True).astype(jnp.int32)
+
+            # one-hot apply on the MXU: values_T [SUB, k, W9] x onehot [SUB, W9, C]
+            cidx = idx[:, :C]  # compacted source lane per dest slot
+            onehot = (
+                (lane9[:, :, None] == cidx[:, None, :])
+                & (laneC[:, None, :] < total[:, :, None])
+            ).astype(jnp.float32)  # [SUB, W9, C]
+            vals = jnp.stack([cat(c) for c in range(k)], axis=1)  # [SUB, k, W9]
+            out = jax.lax.dot_general(
+                vals, onehot, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )  # [SUB, k, C]
+            for c in range(k):
+                fill = jnp.float32(_SENT) if c < 2 else jnp.float32(0.0)
+                outs[c][pl.ds(r0, SUB), :] = jnp.where(
+                    laneC < total, out[:, c, :], fill)
+            cnt_ref[pl.ds(r0, SUB), :] = total
+            return 0
+
+        jax.lax.fori_loop(0, BC // SUB, body, 0)
+
+    return kernel
+
+
+def rebin_planes(planes, counts, spec_like, interpret=True, variant=1):
     """planes: [k][gh, gw, C] channel planes (ch 0/1 = keying x/y; dead slots must
     carry sentinel positions).  Returns (new_planes [k][gh, gw, C], counts [gh*gw])."""
     gh, gw, C = planes[0].shape
@@ -203,7 +297,8 @@ def rebin_planes(planes, counts, spec_like, interpret=True):
                      jnp.full((shift, C), _SENT if c < 2 else 0.0, p.dtype)])
             outs.append(windows(src.reshape(gh, gw, C)))
 
-    kern = make_rebin_kernel(C, k, gw, gh, x_min, y_min, cell_w, cell_h)
+    maker = make_rebin_kernel if variant == 1 else make_rebin_kernel_v2
+    kern = maker(C, k, gw, gh, x_min, y_min, cell_w, cell_h)
     win_spec = pl.BlockSpec((BC, 3 * C), lambda t: (t, 0))
     out_specs = tuple([pl.BlockSpec((BC, C), lambda t: (t, 0))] * k
                       + [pl.BlockSpec((BC, 1), lambda t: (t, 0))])
@@ -289,15 +384,17 @@ def main():
     spec_like = {"x_min": -90.0, "y_min": -45.0, "cell_w": 9.0, "cell_h": 9.0}
     gh, gw, C = 10, 20, 16
     planes = _demo_state(rng, gh, gw, C, 0.5, spec_like, drift=0.9)
-    new_planes, counts = rebin_planes(planes, None, spec_like, interpret=not tpu)
     want_planes, want_counts = oracle_rebin(planes, spec_like)
-    for c in range(len(planes)):
-        got, want = np.asarray(new_planes[c]), np.asarray(want_planes[c])
-        assert np.array_equal(got, want), f"channel {c} mismatch"
-    got_counts = np.minimum(np.asarray(counts), 10 ** 9)
-    assert np.array_equal(got_counts, want_counts), "counts mismatch"
-    print(f"correctness: OK (gh={gh} gw={gw} C={C}, "
-          f"{int(want_counts.sum())} particles, exact equality)")
+    for variant in (1, 2):
+        new_planes, counts = rebin_planes(planes, None, spec_like,
+                                          interpret=not tpu, variant=variant)
+        for c in range(len(planes)):
+            got, want = np.asarray(new_planes[c]), np.asarray(want_planes[c])
+            assert np.array_equal(got, want), f"v{variant} channel {c} mismatch"
+        assert np.array_equal(np.asarray(counts), want_counts), (
+            f"v{variant} counts mismatch")
+        print(f"v{variant} correctness: OK (gh={gh} gw={gw} C={C}, "
+              f"{int(want_counts.sum())} particles, exact equality)", flush=True)
 
     if tpu:
         # production scale: 26k cells, C=64, k=5 channels, ~1M live slots
@@ -320,29 +417,32 @@ def main():
                  for i in range(3)]
         planes2 = [px, py] + extra
 
-        fn = jax.jit(lambda ps: rebin_planes(ps, None, spec_like,
-                                             interpret=False)[0][0])
         from rust_particle_system_tpu.runtime.timing import hsync
 
-        t0 = time.perf_counter()
-        hsync(fn(planes2))
-        print(f"compile+first: {time.perf_counter() - t0:.1f} s")
         R = 8
         ps8 = [jnp.stack([p + (0.001 * i if c >= 2 else 0.0)
                           for i in range(R)])
                for c, p in enumerate(planes2)]
-        loop = jax.jit(lambda ps8: jax.lax.fori_loop(
-            0, R,
-            lambda i, acc: acc + jnp.sum(
-                rebin_planes([p[i] for p in ps8], None, spec_like,
-                             interpret=False)[0][0][::32, ::32, 0]),
-            jnp.float32(0)))
-        hsync(loop(ps8))
-        t0 = time.perf_counter()
-        hsync(loop(ps8))
-        per = (time.perf_counter() - t0) / R * 1e3
-        print(f"rebin @ {nc2} cells / C={C2} / k=5: {per:.2f} ms "
-              f"(replaces sort 4.9 + gather 4.9 + plane kernel 9.3 = 19.1)")
+        for variant in (2, 1):
+            fn = jax.jit(lambda ps, v=variant: rebin_planes(
+                ps, None, spec_like, interpret=False, variant=v)[0][0])
+            t0 = time.perf_counter()
+            hsync(fn(planes2))
+            print(f"v{variant} compile+first: {time.perf_counter() - t0:.1f} s",
+                  flush=True)
+            loop = jax.jit(lambda ps8, v=variant: jax.lax.fori_loop(
+                0, R,
+                lambda i, acc: acc + jnp.sum(
+                    rebin_planes([p[i] for p in ps8], None, spec_like,
+                                 interpret=False, variant=v)[0][0][::32, ::32, 0]),
+                jnp.float32(0)))
+            hsync(loop(ps8))
+            t0 = time.perf_counter()
+            hsync(loop(ps8))
+            per = (time.perf_counter() - t0) / R * 1e3
+            print(f"v{variant} rebin @ {nc2} cells / C={C2} / k=5: {per:.2f} ms "
+                  f"(replaces sort 4.9 + gather 4.9 + plane kernel 9.3 = 19.1)",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,7 @@ def _make_kernel(ph: int, pw: int, lanes: int, sy_px: int, sx_px: int, gw: int,
         d2 = jax.lax.dot_general(
             bmat, amat, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [TC, C, lanes]
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
 
@@ -95,6 +96,7 @@ def _make_kernel(ph: int, pw: int, lanes: int, sy_px: int, sx_px: int, gw: int,
         acc = jax.lax.dot_general(
             cols, alpha, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [TC, 4, lanes]
         pr_ref[:] = acc[:, 0, :]
         pg_ref[:] = acc[:, 1, :]
