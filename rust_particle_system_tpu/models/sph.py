@@ -84,6 +84,12 @@ class SPHFluid:
             backend=backend,
         )
 
+    @property
+    def scan_frames(self) -> bool:
+        """Host-loop the Pallas backend: same warm throughput as scan, but no
+        per-num_frames recompile (see Simulation.run)."""
+        return self.backend != "pallas"
+
     def default_params(self) -> SimParams:
         return make_params(bounds=self.bounds)
 

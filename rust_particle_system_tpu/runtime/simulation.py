@@ -121,9 +121,23 @@ class Simulation:
         return self.params
 
     def run(self, num_frames: int):
-        self.state = run_frames(
-            self.model.step, self.state, self.params, num_frames
-        )
+        """Advance frames.  Driver selection is per-model (``model.scan_frames``):
+        light elementwise steps scan (one dispatch amortizes the ~8 ms/frame
+        tunnel RPC — 648M vs 120M steps/s for the flow field), while Pallas grid
+        steps host-loop.  Warm scan and host loop are IDENTICAL for heavy frames
+        (83.5 ms both at 100k/C128; 65.5 ms both at 1M/pack2 — re-measured), but
+        the scan driver's jit keys on ``num_frames``: every DISTINCT frame count
+        pays a fresh ~25-40 s compile of the whole unrolled program, which is
+        exactly the interactive usage pattern (run(1), run(50), ...).  The host
+        loop compiles the step once, total."""
+        if getattr(self.model, "scan_frames", True):
+            self.state = run_frames(
+                self.model.step, self.state, self.params, num_frames
+            )
+        else:
+            self.state = run_frames_loop(
+                self.model.step, self.state, self.params, num_frames
+            )
         return self.state
 
     def render(self, camera=None):
