@@ -57,8 +57,10 @@ def _make_roll_kernel(k: int, cap: int, lanes: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, lanes), 1)
         pidx = lane // k  # slot index of each AoS lane
 
-        def body(i, _):
-            r0 = i * _SUB
+        # Two independent 8-cell batches per iteration: the 6-stage roll/select
+        # chain is loop-carried (latency-bound, ~100+ cycles per dependent op) —
+        # interleaving lets the scheduler overlap the two chains.
+        def one(r0):
             x = w_ref[pl.ds(r0, _SUB), :]
             rq = rq_ref[pl.ds(r0, _SUB), :]  # [SUB, 1] roll amount / k
             cnt = cnt_ref[pl.ds(r0, _SUB), :]  # [SUB, 1]
@@ -70,9 +72,13 @@ def _make_roll_kernel(k: int, cap: int, lanes: int):
                 )
             vals = jnp.where(pidx < cnt, x, fill_ref[:])
             out_ref[pl.ds(r0, _SUB), :] = vals[:, : cap * k]
+
+        def body(i, _):
+            one(i * 2 * _SUB)
+            one(i * 2 * _SUB + _SUB)
             return 0
 
-        jax.lax.fori_loop(0, _BC // _SUB, body, 0)
+        jax.lax.fori_loop(0, _BC // (2 * _SUB), body, 0)
 
     return kernel
 
