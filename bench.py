@@ -168,10 +168,15 @@ def pair_efficiency(spec, pos):
                     .reshape(256, 9 * C) >= 0)
         d2 = jnp.sum((nbr[:, None, :, :] - own[:, :, None, :]) ** 2, axis=-1)
         ok = (d2 <= h * h) & own_live[:, :, None] & nbr_live[:, None, :]
-        return jnp.sum(ok, dtype=jnp.int64)
+        # f32 per-chunk counts are exact (a chunk caps at 256*C*9C < 2^24 pairs);
+        # the cross-chunk total sums in float64 on the host.  int64 would truncate
+        # to int32 without x64 mode and spam the one JSON line users read.
+        return jnp.sum(ok, dtype=jnp.float32)
+
+    import numpy as np
 
     chunks = jnp.arange(0, (nc // 256) * 256, 256)
-    useful = int(sum(jax.lax.map(count_chunk, chunks)))
+    useful = int(np.asarray(jax.lax.map(count_chunk, chunks), np.float64).sum())
     if spec.pack2:
         np2 = (spec.gw + 1) // 2
         issued = np2 * spec.gh * 128 * 6 * 128

@@ -36,18 +36,32 @@ def main():
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--out", default="/tmp/dam")
     ap.add_argument("--backend", default="grid")
+    ap.add_argument("--video", default=None, metavar="PATH",
+                    help="also stitch the frames into a clip (e.g. /tmp/dam.gif)")
     args = ap.parse_args()
 
     model = SPHFluid.create(n=args.n, backend=args.backend)
     sim = Simulation(model, n=args.n)
     sim.state = dam_init(jax.random.key(0), args.n, model.bounds)
+    if model.backend == "pallas":
+        sim.state = sim.state.with_ids()  # production steps run sorted-resident
     sim.update_params(gravity=500.0, shader_delay=0, damping_factor=0.4)
 
+    video = None
+    if args.video:
+        from rust_particle_system_tpu.utils.video import VideoWriter
+
+        video = VideoWriter(args.video, fps=30)
     for f in range(0, args.frames, args.every):
         sim.run(args.every)
         img = to_srgb_u8(sim.render())
         path = f"{args.out}_{f + args.every:04d}.png"
         write_png(path, np.asarray(img))
+        if video is not None:
+            video.add(np.asarray(img))
+    if video is not None:
+        video.close()
+        print(f"clip -> {args.video}")
         print(path)
 
 

@@ -257,6 +257,85 @@ def make_rebin_kernel_v2(C: int, k: int, gw: int, gh: int, x_min: float,
     return kernel
 
 
+def make_rebin_kernel_v3(C: int, k: int, gw: int, gh: int, x_min: float,
+                         y_min: float, cell_w: float, cell_h: float,
+                         suba: int = 8):
+    """v3: NO roll stages at all — two MXU matmuls per block (round-3).
+
+    v1/v2 are latency-bound on 10-stage lane-roll chains (prefix sum + permute
+    apply).  Both stages are really matrix products:
+
+    * inclusive prefix sum of the keep mask = ``keep @ UT`` with UT the upper-
+      triangular ones matrix [W9, W9] — ONE [BC, W9] x [W9, W9] matmul per block
+      (M=BC=128: full MXU rows).  0/1 operands are exact in bf16 and the MXU
+      accumulates f32, so DEFAULT precision is exact here (no 3-pass HIGHEST tax).
+    * the permutation one-hot needs no compacted-index chain: dest rank is just
+      ``psum - 1`` at kept lanes, so onehot[w, c] = keep[w] & (rank[w] == c)
+      directly, then the same batched [suba, k, W9] x [suba, W9, C] value apply as
+      v2 (HIGHEST — values must pass through bit-exactly).
+    """
+    W9 = 9 * C
+
+    def kernel(ut_ref, *refs):
+        wins = refs[: 3 * k]
+        outs = refs[3 * k : 3 * k + k]
+        cnt_ref = refs[3 * k + k]
+        t = pl.program_id(0)
+
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (suba, C), 1)
+
+        cat = lambda c: jnp.concatenate(
+            [wins[dy * k + c][:] for dy in range(3)], axis=1)  # [BC, W9]
+        x9, y9 = cat(0), cat(1)
+        cell = (t * BC
+                + jax.lax.broadcasted_iota(jnp.int32, (BC, 1), 0))  # [BC, 1]
+        cy_dest = cell // gw
+        cx_dest = cell - cy_dest * gw
+        kx = jnp.clip(jnp.floor((x9 - x_min) / cell_w).astype(jnp.int32),
+                      0, gw - 1)
+        ky = jnp.clip(jnp.floor((y9 - y_min) / cell_h).astype(jnp.int32),
+                      0, gh - 1)
+        keep = (x9 < 0.5 * _SENT) & (kx == cx_dest) & (ky == cy_dest)
+
+        # Stage 1: ranks of kept lanes via one full-block MXU prefix sum.
+        psum = jax.lax.dot_general(
+            jnp.where(keep, 1.0, 0.0), ut_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BC, W9] inclusive prefix counts (exact: 0/1 x 0/1, f32 accumulate)
+        rank = psum.astype(jnp.int32) - 1  # dest slot of each kept lane
+        total = psum[:, W9 - 1 : W9].astype(jnp.int32)  # [BC, 1]
+
+        vals9 = jnp.stack([cat(c) for c in range(k)], axis=1)  # [BC, k, W9]
+
+        # Stage 2: batched one-hot value apply (dest-slot selection on the MXU).
+        dsl = jax.lax.dynamic_slice_in_dim
+
+        def body(i, _):
+            r0 = i * suba
+            rk = dsl(rank, r0, suba, 0)
+            kp = dsl(keep, r0, suba, 0)
+            onehot = jnp.where(
+                kp[:, :, None] & (rk[:, :, None] == laneC[:, None, :]), 1.0, 0.0
+            )  # [suba, W9, C]
+            out = jax.lax.dot_general(
+                dsl(vals9, r0, suba, 0), onehot, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [suba, k, C]
+            tot = dsl(total, r0, suba, 0)
+            for c in range(k):
+                fill = jnp.float32(_SENT) if c < 2 else jnp.float32(0.0)
+                outs[c][pl.ds(r0, suba), :] = jnp.where(
+                    laneC < tot, out[:, c, :], fill)
+            return 0
+
+        jax.lax.fori_loop(0, BC // suba, body, 0)
+        cnt_ref[:] = total
+
+    return kernel
+
+
 def rebin_planes(planes, counts, spec_like, interpret=True, variant=1):
     """planes: [k][gh, gw, C] channel planes (ch 0/1 = keying x/y; dead slots must
     carry sentinel positions).  Returns (new_planes [k][gh, gw, C], counts [gh*gw])."""
@@ -297,20 +376,39 @@ def rebin_planes(planes, counts, spec_like, interpret=True, variant=1):
                      jnp.full((shift, C), _SENT if c < 2 else 0.0, p.dtype)])
             outs.append(windows(src.reshape(gh, gw, C)))
 
-    maker = make_rebin_kernel if variant == 1 else make_rebin_kernel_v2
-    kern = maker(C, k, gw, gh, x_min, y_min, cell_w, cell_h)
     win_spec = pl.BlockSpec((BC, 3 * C), lambda t: (t, 0))
     out_specs = tuple([pl.BlockSpec((BC, C), lambda t: (t, 0))] * k
                       + [pl.BlockSpec((BC, 1), lambda t: (t, 0))])
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((nc_pad, C), jnp.float32)] * k
+        + [jax.ShapeDtypeStruct((nc_pad, 1), jnp.int32)]
+    )
+    if variant == 3:
+        W9 = 9 * C
+        ut = jnp.triu(jnp.ones((W9, W9), jnp.float32))
+        kern = make_rebin_kernel_v3(C, k, gw, gh, x_min, y_min, cell_w, cell_h)
+        res = pl.pallas_call(
+            kern,
+            grid=(nc_pad // BC,),
+            in_specs=[pl.BlockSpec((W9, W9), lambda t: (0, 0))]
+            + [win_spec] * (3 * k),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(ut, *outs)
+        new_planes = [r[:nc].reshape(gh, gw, C) for r in res[:k]]
+        return new_planes, res[k][:nc, 0]
+
+    maker = make_rebin_kernel if variant == 1 else make_rebin_kernel_v2
+    kern = maker(C, k, gw, gh, x_min, y_min, cell_w, cell_h)
     res = pl.pallas_call(
         kern,
         grid=(nc_pad // BC,),
         in_specs=[win_spec] * (3 * k),
         out_specs=out_specs,
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((nc_pad, C), jnp.float32)] * k
-            + [jax.ShapeDtypeStruct((nc_pad, 1), jnp.int32)]
-        ),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -385,7 +483,7 @@ def main():
     gh, gw, C = 10, 20, 16
     planes = _demo_state(rng, gh, gw, C, 0.5, spec_like, drift=0.9)
     want_planes, want_counts = oracle_rebin(planes, spec_like)
-    for variant in (1, 2):
+    for variant in (1, 2, 3):
         new_planes, counts = rebin_planes(planes, None, spec_like,
                                           interpret=not tpu, variant=variant)
         for c in range(len(planes)):
@@ -423,7 +521,7 @@ def main():
         ps8 = [jnp.stack([p + (0.001 * i if c >= 2 else 0.0)
                           for i in range(R)])
                for c, p in enumerate(planes2)]
-        for variant in (2, 1):
+        for variant in (3, 2):
             fn = jax.jit(lambda ps, v=variant: rebin_planes(
                 ps, None, spec_like, interpret=False, variant=v)[0][0])
             t0 = time.perf_counter()

@@ -117,15 +117,20 @@ class SPHFluid:
         the per-frame view_proj analog (src/particle_buffers.rs:220-236).
 
         The pallas backend renders through the cell-plane patch rasterizer when the
-        camera is the identity (its patch grid is tied to the sim cells); any other
-        camera falls back to the general splat."""
+        camera is the identity (its patch grid is tied to the sim cells) AND the
+        geometry meets the plane rasterizer's static preconditions (integral pixel
+        strides, stride >= 2*margin, radius <= margin); any other camera or
+        geometry falls back to the general splat."""
         if self.backend == "pallas" and camera is None and self.grid is not None:
             from ..ops.pallas.sph_step import render_state_planes
+            from ..render.splat_planes import MARGIN, planes_compatible
 
-            return render_state_planes(
-                state, params, self.grid, self.render_spec,
-                bounds_static=self.bounds,
-            )
+            margin = min(MARGIN, self.render_spec.max_radius_px)
+            if planes_compatible(self.grid, self.render_spec, self.bounds, margin):
+                return render_state_planes(
+                    state, params, self.grid, self.render_spec,
+                    bounds_static=self.bounds,
+                )
         return splat(
             state.pos, state.color, params.particle_size, params.bounds,
             self.render_spec, camera=camera,

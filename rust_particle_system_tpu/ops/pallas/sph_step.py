@@ -284,7 +284,13 @@ def render_state_planes(state: ParticleState, params, spec: GridSpec, render_spe
     the fastest raw-positions -> image path (the reference's render pass analog,
     `src/particle_render.rs:65-107`).  Draws ``state.color`` as-is (matching the
     general splat path).  Planes are exact (no post-binning drift), so the patch
-    margin is exactly ``render_spec.max_radius_px``."""
+    margin is exactly ``render_spec.max_radius_px``.
+
+    Capacity contract (same as the physics step): particles beyond a cell's
+    ``spec.capacity`` slots are ABSENT from the image — the same frames where they
+    exert/receive no grid forces.  ``Simulation.stats()`` reports the current
+    state's overflow count; a nonzero value means the grid capacity should be
+    raised (models/sph.py documents the settle-safe default)."""
     from ...render.splat_planes import MARGIN, splat_from_planes
 
     if interpret is None:
@@ -310,11 +316,13 @@ def render_state_planes(state: ParticleState, params, spec: GridSpec, render_spe
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "render_spec", "bounds_static", "interpret", "resident"),
+    static_argnames=("spec", "render_spec", "bounds_static", "interpret", "resident",
+                     "patch_margin"),
 )
 def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
                      render_spec, bounds_static: tuple | None = None,
-                     interpret: bool | None = None, resident: bool = False):
+                     interpret: bool | None = None, resident: bool = False,
+                     patch_margin: int | None = None):
     """Fused step + render: one frame of physics AND its image, sharing the binning.
 
     Returns (new_state, image).  The image is drawn from the frame's cell planes with
@@ -342,9 +350,12 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     new_state, planes = jax.lax.cond(
         state.frame >= params.shader_delay, live_frame, frozen_frame, state
     )
-    # Patch margin: sprite radius bound + 1 px within-frame drift slack (capped at
-    # the classic 4).  Smaller max_radius_px => smaller patches => fewer pair lanes.
-    margin = min(4, render_spec.max_radius_px + 1)
+    # Patch margin: the default 4 leaves (4 − radius_px) pixels of within-frame
+    # drift slack.  Callers whose per-frame displacement is provably < 1 px (slow
+    # flows, tiny dt) can pass ``patch_margin=max_radius_px + 1`` to shrink patches
+    # and cut splat lanes — a tighter margin clips fast sprites at patch edges.
+    margin = 4 if patch_margin is None else min(4, max(
+        patch_margin, render_spec.max_radius_px))
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
         params.particle_size, params.max_energy,

@@ -37,6 +37,23 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def planes_compatible(grid_spec, render_spec, bounds, margin: int) -> bool:
+    """True iff the plane rasterizer's static preconditions hold for this geometry:
+    integral pixel strides, stride >= 2*margin (quadrant reassembly), and sprite
+    radius <= margin.  Callers with other geometry (non-1:1 world-to-pixel scale,
+    max_radius_px > MARGIN) must fall back to the general splat."""
+    x_min, x_max, y_min, y_max = (float(b) for b in bounds)
+    sx_scale = render_spec.width / (x_max - x_min)
+    sy_scale = render_spec.height / (y_max - y_min)
+    sx_px = grid_spec.cell_width * sx_scale
+    sy_px = grid_spec.cell_size * sy_scale
+    if abs(sx_px - round(sx_px)) > 1e-6 or abs(sy_px - round(sy_px)) > 1e-6:
+        return False
+    if min(round(sx_px), round(sy_px)) < 2 * margin:
+        return False
+    return render_spec.max_radius_px <= margin
+
+
 def _make_kernel(ph: int, pw: int, lanes: int, sy_px: int, sx_px: int, gw: int,
                  height: int, margin: int):
     """Kernel over [TC cells, cap] planes -> [TC, lanes] patches (lanes >= ph*pw).

@@ -49,6 +49,12 @@ def load(path: str, state_like, params_like=None):
             for name, example in examples.items():
                 key = f"{prefix}/{name}"
                 if key not in data:
+                    if key == "state/ids" and example.ndim == 1:
+                        # Round-1 checkpoints predate resident ids: state was saved
+                        # in original row order, so identity = row index.
+                        leaves.append(
+                            np.arange(example.shape[0], dtype=example.dtype))
+                        continue
                     raise ValueError(
                         f"checkpoint {path!r} has no leaf {key!r} — was it saved "
                         f"with a different state/params type?"

@@ -43,6 +43,13 @@ def main(argv=None) -> int:
                     help="frames per scan chunk (params re-fed between chunks)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--render", default=None, help="write final frame PNG here")
+    ap.add_argument("--video", default=None, metavar="PATH",
+                    help="stitch rendered frames into a clip (.gif/.webp via PIL, "
+                         ".mp4 with ffmpeg) — the watching half of the reference's "
+                         "live window (src/main.rs:73-80)")
+    ap.add_argument("--video-every", type=int, default=1, metavar="K",
+                    help="render every K-th frame into --video (default 1)")
+    ap.add_argument("--fps", type=int, default=30, help="--video playback rate")
     ap.add_argument("--save", default=None, help="write checkpoint .npz here")
     ap.add_argument("--resume", default=None, help="load checkpoint .npz first")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
@@ -81,15 +88,26 @@ def main(argv=None) -> int:
 
     from .profiling import trace
 
+    video = None
+    if args.video:
+        from ..utils.video import VideoWriter
+
+        video = VideoWriter(args.video, fps=args.fps)
+
     done = 0
     t_start = time.perf_counter()
     with (trace(args.profile) if args.profile else contextlib.nullcontext()):
         while done < args.frames:
-            k = min(args.chunk, args.frames - done)
+            k = min(args.video_every if video else args.chunk, args.frames - done)
             sim.run(k)
             done += k
+            if video is not None:
+                video.add(np.asarray(to_srgb_u8(sim.render())))
         jax.block_until_ready(sim.state.pos)
     elapsed = time.perf_counter() - t_start
+    if video is not None:
+        video.close()
+        print(f"video ({done // args.video_every} frames) -> {args.video}")
     if args.profile:
         print(f"profiler trace -> {args.profile}")
     rate = args.frames * args.n / max(elapsed, 1e-9)

@@ -19,6 +19,8 @@ Commands (also shown by ``help``):
     save PATH          checkpoint state+params to PATH (.npz)
     load PATH          resume state+params from PATH
     autorender on|off  write a PNG automatically after every `run`
+    video PATH N [K]   advance N frames, rendering every K-th (default 1) into an
+                       animated clip at PATH (.gif/.webp; .mp4 with ffmpeg)
     quit               exit
 
 Scriptable: pipe commands on stdin (used by tests/test_runtime.py), exactly like
@@ -117,6 +119,27 @@ class Session:
             arg, self.sim.state, self.sim.params
         )
         self._print(f"resumed from {arg} at frame {int(self.sim.state.frame)}")
+
+    def cmd_video(self, arg):
+        """video PATH N [K] — run N frames, render every K-th into a clip."""
+        parts = arg.split()
+        if not 2 <= len(parts) <= 3:
+            self._print("usage: video PATH N [EVERY]")
+            return
+        from ..utils.video import VideoWriter
+
+        path, frames = parts[0], int(parts[1])
+        every = int(parts[2]) if len(parts) == 3 else 1
+        t0 = time.perf_counter()
+        with VideoWriter(path, fps=30) as vw:
+            done = 0
+            while done < frames:
+                k = min(every, frames - done)
+                self.sim.run(k)
+                done += k
+                vw.add(np.asarray(to_srgb_u8(self.sim.render(camera=self.camera))))
+        dts = time.perf_counter() - t0
+        self._print(f"video ({-(-frames // every)} frames, {dts:.1f}s) -> {path}")
 
     def cmd_autorender(self, arg):
         self.autorender = arg.strip().lower() in ("on", "true", "1")

@@ -17,6 +17,39 @@ import jax
 
 from ..core.state import ParticleState
 
+# Tunable-parameter guardrails, mirroring the reference's egui slider ranges
+# (src/parameter_gui.rs:38-70).  The reference physically cannot receive values
+# outside these (sliders clamp); accepting them here would let a REPL `set` pass a
+# negative dt or a zero radius (whose kernel norms divide by h^5) straight into the
+# compiled step.  Keys not listed (particle_size, shader_delay, model-specific
+# fields) are unconstrained, as in the reference.
+PARAM_RANGES = {
+    "dt": (0.0015, 0.015),
+    "gravity": (0.0, 1000.0),
+    "damping_factor": (0.0, 1.0),
+    "smoothing_radius": (1e-6, 30.0),  # exclusive 0: norms divide by h^5..h^8
+    "max_energy": (1000.0, 10000.0),
+    "target_density": (0.0, 0.1),
+    "pressure_multiplier": (1.0, 100000.0),
+    "viscosity_strength": (0.0, 10.0),
+    "near_density_multiplier": (1.0, 10000.0),
+}
+
+
+def check_param_ranges(**kwargs) -> None:
+    """Raise ValueError for any tunable outside its reference slider range."""
+    for k, v in kwargs.items():
+        rng = PARAM_RANGES.get(k)
+        if rng is None:
+            continue
+        lo, hi = rng
+        v = float(v)
+        if not (lo <= v <= hi):
+            raise ValueError(
+                f"{k}={v} is outside the supported range [{lo}, {hi}] "
+                f"(the reference GUI clamps it there, src/parameter_gui.rs:38-70)"
+            )
+
 
 @functools.partial(jax.jit, static_argnames=("step_fn", "num_frames"), donate_argnums=1)
 def run_frames(step_fn, state: ParticleState, params: Any, num_frames: int) -> ParticleState:
@@ -62,7 +95,12 @@ def run_frames_trajectory(step_fn, state, params, num_frames: int, save_every: i
 
     Scans over chunks of ``save_every`` frames so only num_frames/save_every
     snapshots ever materialize (stacking every frame then slicing would allocate
-    save_every-times more memory than requested)."""
+    save_every-times more memory than requested).
+
+    Resident states (``state.ids`` present — the production Pallas step keeps rows
+    in cell-sorted order, reshuffled every frame) are restored to original-id order
+    before each snapshot, so ``traj[:, i]`` is always the SAME particle i across
+    frames.  The argsort+gather costs only on snapshot frames."""
     assert num_frames % save_every == 0, "num_frames must divide by save_every"
 
     def chunk(carry, _):
@@ -70,7 +108,9 @@ def run_frames_trajectory(step_fn, state, params, num_frames: int, save_every: i
             return step_fn(c, params), None
 
         new, _ = jax.lax.scan(body, carry, None, length=save_every)
-        return new, new.pos
+        snap = new.pos if getattr(new, "ids", None) is None \
+            else new.pos[jax.numpy.argsort(new.ids)]
+        return new, snap
 
     state, traj = jax.lax.scan(chunk, state, None, length=num_frames // save_every)
     return state, traj
@@ -94,6 +134,7 @@ class Simulation:
         self.state = model.init(jax.random.key(seed), n)
 
     def update_params(self, **kwargs):
+        check_param_ranges(**kwargs)
         if "smoothing_radius" in kwargs and hasattr(self.params, "density_kernel_norm"):
             from ..core.params import with_smoothing_radius
 

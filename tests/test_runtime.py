@@ -197,3 +197,136 @@ def test_cli_profile_trace(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "profiler trace" in out
     assert os.path.isdir(d) and os.listdir(d)
+
+
+def test_update_params_rejects_out_of_range_values():
+    # The reference GUI clamps every tunable (src/parameter_gui.rs:38-70); the
+    # slider analog must reject what the reference physically cannot produce.
+    import pytest
+
+    sim = Simulation(SPHFluid.create(n=32, bounds=(-96.0, 96.0, -54.0, 54.0),
+                                     capacity=16), n=32)
+    for bad in (dict(dt=-0.01), dict(dt=0.5), dict(gravity=-5.0),
+                dict(damping_factor=2.0), dict(smoothing_radius=0.0),
+                dict(pressure_multiplier=0.0), dict(viscosity_strength=-1.0)):
+        with pytest.raises(ValueError):
+            sim.update_params(**bad)
+    # in-range updates still work
+    sim.update_params(dt=0.005, gravity=100.0)
+    np.testing.assert_allclose(float(sim.params.dt), 0.005, rtol=1e-6)
+
+
+def test_trajectory_restores_original_order_for_resident_states():
+    # A resident state reorders rows every frame; trajectory snapshots must track
+    # particle i at traj[:, i] regardless (ADVICE r2).
+    from rust_particle_system_tpu.runtime.simulation import run_frames_trajectory
+
+    model = SPHFluid.create(n=96, bounds=(-96.0, 96.0, -54.0, 54.0), capacity=16,
+                            backend="pallas")
+    params = model.default_params()._replace(shader_delay=jnp.int32(0))
+    state = model.init(jax.random.key(0), 96)
+    assert state.ids is not None
+
+    sr, traj = run_frames_trajectory(model.step, state, params, 4)
+    # oracle: step a copy frame by frame, restoring order at each snapshot
+    s = model.init(jax.random.key(0), 96)
+    step = jax.jit(model.step)
+    for f in range(4):
+        s = step(s, params)
+        want = np.asarray(s.pos)[np.argsort(np.asarray(s.ids))]
+        np.testing.assert_allclose(np.asarray(traj[f]), want, rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_loads_pre_ids_state_into_resident_model(tmp_path):
+    # Round-1 checkpoints have no state/ids leaf; loading against a resident
+    # state_like must re-derive identity as the row index (ADVICE r2).
+    state_old = SPHFluid.create(n=64, bounds=(-96.0, 96.0, -54.0, 54.0),
+                                capacity=16).init(jax.random.key(3), 64)
+    assert state_old.ids is None
+    p = tmp_path / "old.npz"
+    checkpoint.save(str(p), state_old)
+
+    state_like = state_old.with_ids()
+    loaded = checkpoint.load(str(p), state_like)
+    np.testing.assert_array_equal(np.asarray(loaded.ids), np.arange(64))
+    np.testing.assert_allclose(np.asarray(loaded.pos), np.asarray(state_old.pos))
+
+
+def test_pallas_render_falls_back_for_incompatible_geometry():
+    # max_radius_px > MARGIN and non-integral pixel strides must route through the
+    # general splat instead of tripping the plane rasterizer's static asserts.
+    from rust_particle_system_tpu.render import RenderSpec
+
+    big_radius = SPHFluid.create(
+        n=48, bounds=(-96.0, 96.0, -54.0, 54.0), capacity=16, backend="pallas",
+        render_spec=RenderSpec(width=192, height=108, max_radius_px=6),
+    )
+    params = big_radius.default_params()
+    state = big_radius.init(jax.random.key(0), 48)
+    img = big_radius.render(state, params)  # would raise AssertionError before
+    assert img.shape == (108, 192, 4)
+
+    skewed = SPHFluid.create(
+        n=48, bounds=(-96.0, 96.0, -54.0, 54.0), capacity=16, backend="pallas",
+        render_spec=RenderSpec(width=200, height=100, max_radius_px=2),
+    )
+    img2 = skewed.render(state, params)
+    assert img2.shape == (100, 200, 4)
+
+
+def test_video_export_gif_and_webp(tmp_path):
+    # The watching half of the reference's live loop (src/main.rs:73-80): frames
+    # stitched into an animated clip.  GIF and WebP ride PIL; no ffmpeg needed.
+    from PIL import Image
+
+    from rust_particle_system_tpu.utils.video import VideoWriter, write_video
+
+    frames = [
+        np.full((32, 48, 4), v, np.uint8) for v in (0, 64, 128, 192)
+    ]
+    gif = tmp_path / "clip.gif"
+    write_video(str(gif), frames, fps=10)
+    with Image.open(gif) as im:
+        assert im.n_frames == 4
+        assert im.size == (48, 32)
+
+    webp = tmp_path / "clip.webp"
+    with VideoWriter(str(webp), fps=10) as vw:
+        for f in frames:
+            vw.add(f)
+    with Image.open(webp) as im:
+        assert im.size == (48, 32)
+
+    import pytest
+
+    with pytest.raises((RuntimeError, ValueError)):
+        VideoWriter(str(tmp_path / "clip.xyz"))
+
+
+def test_cli_video_flag(tmp_path):
+    from PIL import Image
+
+    out = tmp_path / "run.gif"
+    rc = cli_main([
+        "--model", "attractor", "--n", "64", "--frames", "6",
+        "--video", str(out), "--video-every", "2",
+    ])
+    assert rc == 0
+    with Image.open(out) as im:
+        assert im.n_frames == 3
+
+
+def test_interactive_video_command(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from rust_particle_system_tpu.runtime.interactive import Session
+
+    out = io.StringIO()
+    s = Session("attractor", n=32, out=out)
+    clip = tmp_path / "s.gif"
+    assert s.dispatch(f"video {clip} 4 2")
+    with Image.open(clip) as im:
+        assert im.n_frames == 2
+    assert "video" in out.getvalue()
