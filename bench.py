@@ -101,10 +101,10 @@ def measure_phases(spec, params, frame_ms):
         return acc + jnp.sum(g.perm[::4096]).astype(jnp.float32)
 
     def make_packed(i):
-        # The resident production gather: (pred, vel, pos, biased-bitcast ids).
+        # The resident production gather: (pred, vel, pos, f32-valued ids).
         pred, v = predict(i)
         g = build_grid(spec, pred, with_table=False)
-        idsf = jax.lax.bitcast_convert_type(ids | jnp.int32(0x3F800000), jnp.float32)
+        idsf = ids.astype(jnp.float32)
         return g, jnp.concatenate([pred, v, pos8[i], idsf[:, None]], -1)[g.perm]
 
     def upto_gather(i, acc):

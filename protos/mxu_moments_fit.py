@@ -1,0 +1,152 @@
+"""Feasibility study: moment-transfer (FMM-style M2L) formulation of the SPH pair
+forces on the MXU — the error side of the go/no-go asked by VERDICT round 2.
+
+Idea: per-pair force sums Σ_j w_j · G(q_i, r_j) become MATMULS if G factorizes as
+Φ(q_i)ᵀ K Ψ(r_j): per cell, accumulate weighted neighbor moments M = Σ_j w_j Ψ(r_j)
+(one small matmul over slots), transfer L_c = Σ_Δ K^Δ M_{c+Δ} (9 dense [B, B]
+matmuls — the FLOP body, all MXU), then evaluate per own particle Φ(q_i)ᵀ L (one
+matmul).  Total work O(n·B) + O(cells·B²) instead of O(n·768) VPU pair walks.
+
+The factorization comes from a 4D tensor-Chebyshev fit of G over (own cell) x
+(neighbor cell + offset): K[(a,b),(c,e)] with basis T_a(x̂i)T_b(ŷi)T_c(x̂j)T_e(ŷj).
+Per-axis domains are single cells (tight), coefficients are obtained by Chebyshev
+interpolation (4D DCT), numerically stable at any degree (basis values <= 1).
+
+THIS SCRIPT measures the only real unknown: how fast the fit converges for the
+actual pair functions, whose smoothness is limited by (a) the kernel cutoff kink
+at d = h and (b) the coincidence singularity of the direction factor (x_j-x_i)/d
+at the shared edge/corner of adjacent cells.  It reports, per degree and offset:
+
+* rms/max error on IN-SUPPORT pairs (d < h), relative to the function's scale;
+* max spurious magnitude on OUT-of-support pairs (d > h), which budget-multiplies
+  by the ~100 candidates a settle-state cell supplies.
+
+Functions tested (h = cell size = 1, the production tie):
+  G1 = (xj-xi)(h-d)+   / d   -- spec pressure-force x factor (spiky, 1/d)
+  G2 = (xj-xi)(h-d)+^2 / d   -- spec near-pressure factor
+  D1 = (h-d)+^2              -- spec density kernel (radial, no direction)
+  V  = (h^2-d^2)+^3          -- spec viscosity kernel (poly in d^2, C^2 cutoff)
+  P1 = (xj-xi)(h^2-d^2)+^2   -- poly-kernel gradient form (kernel-spec freedom)
+
+Run: python protos/mxu_moments_fit.py   (CPU numpy, ~1 min)
+
+MEASURED (2026-08-17, this machine): see the committed output block at the bottom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+H = 1.0
+
+
+def cheb_nodes(n):
+    return np.cos(np.pi * (np.arange(n) + 0.5) / n)  # Chebyshev roots in (-1, 1)
+
+
+def dct_coeffs(vals):
+    """Multidim Chebyshev interpolation coefficients from values on roots grid."""
+    from scipy.fft import dct  # type: ignore
+
+    c = vals
+    for ax in range(vals.ndim):
+        c = dct(c, type=2, axis=ax) / vals.shape[ax]
+    # DCT-II gives 2x on the zeroth coefficient per axis
+    for ax in range(vals.ndim):
+        sl = [slice(None)] * vals.ndim
+        sl[ax] = 0
+        c[tuple(sl)] *= 0.5
+    return c
+
+
+def cheb_eval_multi(coeffs, pts):
+    """Evaluate a 4D Chebyshev series at pts [m, 4] in [-1, 1]^4."""
+    n = coeffs.shape[0]
+    # T matrix per axis: [m, n]
+    Ts = []
+    for ax in range(4):
+        x = pts[:, ax]
+        T = np.empty((len(x), n))
+        T[:, 0] = 1.0
+        if n > 1:
+            T[:, 1] = x
+        for k in range(2, n):
+            T[:, k] = 2 * x * T[:, k - 1] - T[:, k - 2]
+        Ts.append(T)
+    # contract: sum over abcd coeffs[a,b,c,e] Ta Tb Tc Te
+    out = np.einsum("abce,ma,mb,mc,me->m", coeffs, Ts[0], Ts[1], Ts[2], Ts[3],
+                    optimize=True)
+    return out
+
+
+def pair_funcs(xi, yi, xj, yj):
+    dx = xj - xi
+    dy = yj - yi
+    d2 = dx * dx + dy * dy
+    d = np.sqrt(np.maximum(d2, 1e-30))
+    v = np.maximum(H - d, 0.0)
+    u = np.maximum(H * H - d2, 0.0)
+    return {
+        "G1_spiky_dir": dx * v / d,
+        "G2_near_dir": dx * v * v / d,
+        "D1_density": v * v,
+        "V_viscosity": u * u * u,
+        "P1_poly_dir": dx * u * u,
+    }
+
+
+def fit_offset(offset, deg, nq=None):
+    """Fit all pair functions for one neighbor offset at tensor degree ``deg``.
+
+    Own cell = [0,1]^2; neighbor cell = offset + [0,1]^2.  Returns dict of
+    (coeffs, errors) with in-support rel-rms/max and out-of-support max.
+    """
+    n = deg + 1
+    g = cheb_nodes(n)
+    # map [-1,1] -> cell coords
+    oxi = 0.5 * (g + 1.0)
+    oxj = offset[0] + 0.5 * (g + 1.0)
+    oyj = offset[1] + 0.5 * (g + 1.0)
+    XI, YI, XJ, YJ = np.meshgrid(oxi, oxi, oxj, oyj, indexing="ij")
+    vals = pair_funcs(XI, YI, XJ, YJ)
+
+    rng = np.random.default_rng(0)
+    m = 200_000
+    pts = rng.random((m, 4))
+    pxi, pyi = pts[:, 0], pts[:, 1]
+    pxj, pyj = offset[0] + pts[:, 2], offset[1] + pts[:, 3]
+    tv = pair_funcs(pxi, pyi, pxj, pyj)
+    d2 = (pxj - pxi) ** 2 + (pyj - pyi) ** 2
+    inside = d2 < H * H
+    upts = np.stack(
+        [2 * pts[:, 0] - 1, 2 * pts[:, 1] - 1, 2 * pts[:, 2] - 1,
+         2 * pts[:, 3] - 1], axis=1)
+
+    out = {}
+    for name, vgrid in vals.items():
+        c = dct_coeffs(vgrid.copy())
+        approx = cheb_eval_multi(c, upts)
+        truth = tv[name]
+        scale = max(np.abs(truth[inside]).max(), 1e-12) if inside.any() else 1.0
+        err = approx - truth
+        in_rms = np.sqrt(np.mean(err[inside] ** 2)) / scale if inside.any() else 0.0
+        in_max = np.abs(err[inside]).max() / scale if inside.any() else 0.0
+        out_max = np.abs(approx[~inside]).max() / scale if (~inside).any() else 0.0
+        out[name] = (in_rms, in_max, out_max)
+    return out
+
+
+def main():
+    offsets = {"side(1,0)": (1, 0), "diag(1,1)": (1, 1), "own(0,0)": (0, 0)}
+    for deg in (8, 12, 16, 20, 24):
+        print(f"=== tensor degree {deg} (basis {(deg+1)**2} per side) ===",
+              flush=True)
+        for oname, off in offsets.items():
+            res = fit_offset(off, deg)
+            for fname, (r, mx, om) in res.items():
+                print(f"  {oname:10s} {fname:14s} in-rms {r:9.2e}  "
+                      f"in-max {mx:9.2e}  out-max {om:9.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -309,28 +309,27 @@ def make_rebin_kernel_v3(C: int, k: int, gw: int, gh: int, x_min: float,
         vals9 = jnp.stack([cat(c) for c in range(k)], axis=1)  # [BC, k, W9]
 
         # Stage 2: batched one-hot value apply (dest-slot selection on the MXU).
-        dsl = jax.lax.dynamic_slice_in_dim
-
-        def body(i, _):
+        # Statically unrolled — Mosaic cannot lower dynamic_slice of kernel
+        # VALUES (only of refs), so a fori_loop over suba batches won't compile.
+        for i in range(BC // suba):
             r0 = i * suba
-            rk = dsl(rank, r0, suba, 0)
-            kp = dsl(keep, r0, suba, 0)
+            rk = rank[r0 : r0 + suba]
+            # Mosaic can't reshape i1 vectors to add a minor dim — lift the keep
+            # mask to f32 in 2D first, then broadcast.
+            kpf = jnp.where(keep[r0 : r0 + suba], 1.0, 0.0)  # [suba, W9] f32
             onehot = jnp.where(
-                kp[:, :, None] & (rk[:, :, None] == laneC[:, None, :]), 1.0, 0.0
+                rk[:, :, None] == laneC[:, None, :], kpf[:, :, None], 0.0
             )  # [suba, W9, C]
             out = jax.lax.dot_general(
-                dsl(vals9, r0, suba, 0), onehot, (((2,), (1,)), ((0,), (0,))),
+                vals9[r0 : r0 + suba], onehot, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # [suba, k, C]
-            tot = dsl(total, r0, suba, 0)
+            tot = total[r0 : r0 + suba]
             for c in range(k):
                 fill = jnp.float32(_SENT) if c < 2 else jnp.float32(0.0)
-                outs[c][pl.ds(r0, suba), :] = jnp.where(
+                outs[c][r0 : r0 + suba, :] = jnp.where(
                     laneC < tot, out[:, c, :], fill)
-            return 0
-
-        jax.lax.fori_loop(0, BC // suba, body, 0)
         cnt_ref[:] = total
 
     return kernel

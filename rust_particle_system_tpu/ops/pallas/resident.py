@@ -1,0 +1,275 @@
+"""Plane-RESIDENT SPH: state lives in cell planes across frames; no per-frame sort.
+
+The stream pipeline (ops/pallas/sph_step.py) pays ~19 ms/frame at 1M re-deriving
+cell structure (radix sort + packed perm gather + plane-build kernel) that the
+physics then uses for ~27 ms of force work.  Here the state IS the cell structure:
+channel planes ``[gh, gw, C]`` (positions, velocities, ids) carried across frames,
+re-binned each frame by one LOCAL Pallas compaction over the 3x3 neighborhood
+(ops/pallas/rebin.py) — valid because per-frame movement is CFL-bounded to about a
+cell.  The render needs no binning at all: the planes feed the MXU patch rasterizer
+(render/splat_planes.py) directly.
+
+Semantics match the bulk-synchronous spec of ops/grid_step.py / sph_step.py (the
+reference's five GPU dispatches, src/particle_compute.rs:91-195) with the plane
+path's drop contract:
+
+* particles beyond a cell's ``capacity`` at rebin time are dropped (the stream
+  path's overflow analog — there they merely skip grid forces for the frame);
+* particles that move MORE than one cell in one frame escape the 3x3 rebin window
+  and are dropped.  Under the reference's slider ranges (dt <= 0.015, cell size ==
+  smoothing radius) a particle needs |v| > cell/dt = 600 u/s per axis to escape —
+  far beyond the max_energy colour ceiling; the cumulative ``lost`` counter
+  surfaces both cases, and ``Simulation.stats`` raises visibility to the caller.
+
+Identity: each slot's original particle index rides a plain-f32 ids channel
+(exact for n <= 2^24); ``to_particle_state`` restores id order for trajectory,
+checkpoint, and parity consumers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...core import kernels as K
+from ...core.params import SimParams
+from ...core.state import ParticleState
+from ...ops.grid import GridSpec, build_grid
+from .plane_build import cell_planes_aos
+from .rebin import SENTINEL, rebin_planes
+from .sph_step import _forces_from_cells
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("px", "py", "vx", "vy", "idsf", "frame", "lost"),
+    meta_fields=("n",),
+)
+@dataclasses.dataclass(frozen=True)
+class PlaneState:
+    """Cell-plane particle state.  Dead slots: px/py = SENTINEL, vx/vy/idsf = 0.
+
+    ``n`` (static) is the initial particle count; ``lost`` counts particles dropped
+    so far (capacity overflow + one-cell-per-frame CFL escapes), so the live total
+    is always ``n - lost``.
+    """
+
+    px: jnp.ndarray  # [gh, gw, C] f32
+    py: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    idsf: jnp.ndarray  # original index as f32 value (exact to 2^24)
+    frame: jnp.ndarray  # [] int32
+    lost: jnp.ndarray  # [] int32, cumulative dropped
+    n: int = 0
+
+    @property
+    def live(self):
+        return self.px < 0.5 * SENTINEL
+
+    def traj_positions(self):
+        """[n, 2] positions in original-id order (lost rows park at SENTINEL)."""
+        s = self.to_particle_state()
+        return s.pos
+
+
+def plane_state_from_particles(state: ParticleState, spec: GridSpec,
+                               interpret: bool | None = None) -> "PlaneState":
+    """Initial binning: one sort + gather + plane build (the only one ever run)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    state = state.with_ids()
+    n = state.n
+    if n > 1 << 24:
+        raise ValueError(f"plane-resident ids are exact only to 2^24 (got {n})")
+    gh, gw, C = spec.gh, spec.gw, spec.capacity
+    nc = spec.num_cells
+    grid = build_grid(spec, state.pos, with_table=False)
+    idsf = state.ids.astype(jnp.float32)
+    packed = jnp.concatenate([state.pos, state.vel, idsf[:, None]], axis=-1)[
+        grid.perm
+    ]
+    fills = (SENTINEL, SENTINEL, 0.0, 0.0, 0.0)
+    cells = cell_planes_aos(packed, grid.starts, nc, C, fills, interpret)
+    ch = [cells[..., i].reshape(gh, gw, C) for i in range(5)]
+    return PlaneState(
+        px=ch[0], py=ch[1], vx=ch[2], vy=ch[3], idsf=ch[4],
+        frame=state.frame, lost=grid.overflow, n=n,
+    )
+
+
+@jax.jit
+def _planes_to_particles(ps: PlaneState):
+    """Pull live slots back to an [n]-row particle stream, ordered by id.
+
+    Rows of dropped particles (``lost > 0``) come LAST, with ids >= n, positions at
+    SENTINEL and zero velocity — placeholders, not physics.  Colour is white before
+    the first live frame and the kinetic-energy ramp after, matching what the
+    stream step writes (compute_shader.wgsl:101-118).
+    """
+    n = ps.n
+    live = ps.live.reshape(-1)
+    ids = ps.idsf.astype(jnp.int32).reshape(-1)
+    key = jnp.where(live, ids, jnp.int32(n))
+    order = jnp.argsort(key)[:n]  # jnp.argsort is stable
+    livc = live[order]
+    pos = jnp.stack(
+        [ps.px.reshape(-1)[order], ps.py.reshape(-1)[order]], axis=-1
+    )
+    vel = jnp.where(
+        livc[:, None],
+        jnp.stack([ps.vx.reshape(-1)[order], ps.vy.reshape(-1)[order]], axis=-1),
+        0.0,
+    )
+    ids_out = jnp.where(livc, key[order], n + jnp.arange(n, dtype=jnp.int32))
+    return pos, vel, ids_out, livc
+
+
+def to_particle_state(ps: PlaneState, params: SimParams | None = None
+                      ) -> ParticleState:
+    pos, vel, ids_out, _ = _planes_to_particles(ps)
+    if params is not None:
+        colored = K.energy_color(vel, params.max_energy)
+        white = jnp.ones_like(colored)
+        color = jnp.where(ps.frame > params.shader_delay, colored, white)
+    else:
+        color = jnp.ones((ps.n, 4), jnp.float32)
+    return ParticleState(pos=pos, vel=vel, color=color, frame=ps.frame,
+                         ids=ids_out)
+
+
+# Bind as a method so trajectory/snapshot consumers can stay state-agnostic.
+PlaneState.to_particle_state = to_particle_state
+
+
+def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
+                  interpret: bool | None = None, variant: int = 3):
+    """One live physics frame on plane state.  Returns the new PlaneState plus the
+    end-of-frame planes dict for the fused renderer (same keys as
+    sph_physics_pallas's ``want_planes``)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    dt = params.dt
+    live = ps.live
+    live_before = jnp.sum(live, dtype=jnp.int32)
+
+    # Gravity + predict, elementwise in plane space (compute_shader.wgsl:397-405).
+    vxp = jnp.where(live, ps.vx, 0.0)
+    vyp = jnp.where(live, ps.vy - params.gravity * dt, 0.0)
+    predx = jnp.where(live, ps.px + vxp * dt, SENTINEL)
+    predy = jnp.where(live, ps.py + vyp * dt, SENTINEL)
+
+    # Local rebin keyed on predicted positions — replaces bin+sort+offsets+gather
+    # (src/particle_compute.rs:106-163).
+    new_planes, counts = rebin_planes(
+        [predx, predy, vxp, vyp, ps.idsf], spec, interpret=interpret,
+        variant=variant,
+    )
+    npx, npy, nvx0, nvy0, nidsf = new_planes
+    C = spec.capacity
+    kept = jnp.sum(jnp.minimum(counts, C), dtype=jnp.int32)
+    lost_now = live_before - kept
+
+    # The two Pallas force walks (density, fused pressure+viscosity).
+    nvx, nvy = _forces_from_cells(npx, npy, nvx0, nvy0, spec, params, interpret)
+
+    live2 = npx < 0.5 * SENTINEL
+    # Integrate from pred-consistent positions; bounce; re-park dead slots
+    # (bounce would otherwise clamp sentinels into the domain).
+    fx = npx + (nvx - nvx0) * dt
+    fy = npy + (nvy - nvy0) * dt
+    pos2, vel2 = K.bounce_bounds(
+        jnp.stack([fx, fy], axis=-1), jnp.stack([nvx, nvy], axis=-1),
+        params.bounds, params.damping_factor,
+    )
+    out = PlaneState(
+        px=jnp.where(live2, pos2[..., 0], SENTINEL),
+        py=jnp.where(live2, pos2[..., 1], SENTINEL),
+        vx=jnp.where(live2, vel2[..., 0], 0.0),
+        vy=jnp.where(live2, vel2[..., 1], 0.0),
+        idsf=jnp.where(live2, nidsf, 0.0),
+        frame=ps.frame, lost=ps.lost + lost_now, n=ps.n,
+    )
+    planes = {
+        "px": out.px, "py": out.py, "vx": out.vx, "vy": out.vy, "live": live2,
+    }
+    return out, planes
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret", "variant"))
+def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
+               interpret: bool | None = None, variant: int = 3) -> PlaneState:
+    """Warm-up-honoring full frame on plane-resident state."""
+    stepped = jax.lax.cond(
+        ps.frame >= params.shader_delay,
+        lambda s: plane_physics(s, params, spec, interpret, variant)[0],
+        lambda s: s,
+        ps,
+    )
+    return dataclasses.replace(stepped, frame=ps.frame + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "render_spec", "bounds_static", "interpret",
+                     "variant", "patch_margin"),
+)
+def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
+                bounds_static: tuple, interpret: bool | None = None,
+                variant: int = 3, patch_margin: int | None = None):
+    """Fused step + render from plane-resident state: physics AND image with ZERO
+    binning work — the planes go straight into the MXU patch rasterizer."""
+    from ...render.splat_planes import splat_from_planes
+
+    def live_frame(s):
+        return plane_physics(s, params, spec, interpret, variant)
+
+    def frozen_frame(s):
+        return s, {"px": s.px, "py": s.py, "vx": s.vx, "vy": s.vy,
+                   "live": s.live}
+
+    new_ps, planes = jax.lax.cond(
+        ps.frame >= params.shader_delay, live_frame, frozen_frame, ps
+    )
+    margin = 4 if patch_margin is None else min(4, max(
+        patch_margin, render_spec.max_radius_px))
+    image = splat_from_planes(
+        planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
+        params.particle_size, params.max_energy,
+        bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
+        interpret=interpret, margin=margin,
+    )
+    return dataclasses.replace(new_ps, frame=ps.frame + 1), image
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "render_spec", "bounds_static", "interpret"),
+)
+def render_plane_state(ps: PlaneState, params: SimParams, spec: GridSpec,
+                       render_spec, bounds_static: tuple,
+                       interpret: bool | None = None):
+    """Standalone render of plane-resident state — NO binning at all.
+
+    Positions drifted at most one integration from their binned cell, so the
+    default 4 px patch margin covers sprite radius + drift (the same contract as
+    the fused frame).  Warm-up states draw white, matching the stream path.
+    """
+    from ...render.splat_planes import splat_from_planes
+
+    live = ps.live
+    colored = K.energy_color(
+        jnp.stack([ps.vx, ps.vy], axis=-1), params.max_energy
+    )
+    white = jnp.ones_like(colored)
+    rgb = jnp.where(ps.frame > params.shader_delay, colored, white)
+    return splat_from_planes(
+        ps.px, ps.py, ps.vx, ps.vy, live,
+        params.particle_size, params.max_energy,
+        bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
+        interpret=interpret, margin=4,
+        colors=(rgb[..., 0], rgb[..., 1], rgb[..., 2]),
+    )

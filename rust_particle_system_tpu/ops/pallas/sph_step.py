@@ -119,7 +119,7 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     (``render/splat_planes.py``) to draw the frame without re-binning.
 
     With ``resident`` the new state is returned in THIS frame's cell-sorted order
-    (requires ``state.ids``; the ids column rides the one perm gather as a bitcast
+    (requires ``state.ids``; the ids column rides the one perm gather as a plain-f32
     f32 channel).  This skips the inverse permutation — an argsort plus a 1M-row
     gather per frame — which only exists to restore an ordering the physics never
     needs.  Callers track identity through ``state.ids``."""
@@ -139,25 +139,23 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     # the aligned-window + dynamic-roll kernel lays the runs out as slot planes
     # (2 gather slices per CELL instead of one per slot — see plane_build.py).
     # In resident mode the same gather also carries the old positions and the
-    # bitcast ids, so no second particle-order gather ever happens.
+    # f32-valued ids, so no second particle-order gather ever happens.
     fills = (_SENTINEL, _SENTINEL, 0.0, 0.0)
     chans = [pred, vel]
     if resident:
         if state.ids is None:
             raise ValueError("resident step requires state.ids (state.with_ids())")
-        if n >= 1 << 23:
+        if n > 1 << 24:
             raise ValueError(
-                f"resident mode supports n < 2^23 (got {n}): ids ride a f32 "
-                "mantissa channel; use resident=False above that"
+                f"resident mode supports n <= 2^24 (got {n}): ids ride a f32 "
+                "VALUE channel, exact only up to 2^24; use resident=False above"
             )
-        # Bias into the normal-float range before the bitcast: raw ids < 2^23
-        # bitcast to SUBNORMAL f32, which the TPU flushes to zero in fused data
-        # movement (observed: all ids zeroed after the first live frame).  OR-ing
-        # in exponent bits 0x3f800000 maps id k to the normal float 1.0 <= f < 2.0
-        # with k in the mantissa — bit-exact through any gather/concat.
-        idsf = jax.lax.bitcast_convert_type(
-            state.ids | jnp.int32(0x3F800000), jnp.float32
-        )
+        # ids ride the gather as plain f32 VALUES: integers <= 2^24 are exact in
+        # f32, id 0 maps to 0.0 (normal), and gathers/concats never round — so no
+        # subnormal-flush hazard (round 2 hit that with a raw bitcast: ids < 2^23
+        # bitcast to subnormals, which the TPU flushes to zero in fused data
+        # movement).  This covers the 16M (== 2^24) flagship config.
+        idsf = state.ids.astype(jnp.float32)
         chans += [state.pos, idsf[:, None]]
     packed = jnp.concatenate(chans, axis=-1)[grid.perm]
     sorted_packed = packed[:, :4]  # (pred, vel), the plane-build channels
@@ -189,10 +187,7 @@ def sph_physics_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
             pos_s, vel_s, params.bounds, params.damping_factor
         )
         color = K.energy_color(vel_s, params.max_energy)
-        ids_new = (
-            jax.lax.bitcast_convert_type(packed[:, 6], jnp.int32)
-            & jnp.int32(0x007FFFFF)  # strip the normalization exponent bias
-        )
+        ids_new = packed[:, 6].astype(jnp.int32)
         new_state = ParticleState(pos=pos_s, vel=vel_s, color=color,
                                   frame=state.frame, ids=ids_new)
     else:
