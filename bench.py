@@ -6,10 +6,13 @@ Prints ONE JSON line:
 
 ``vs_baseline`` measures against the BASELINE.md north-star target of 1e9
 particle-steps/sec/chip at 1M particles (the reference publishes no numbers of its
-own — see BASELINE.md).  Extra fields record the secondary workloads (flow-field rate,
-fused step+render p50, standalone 1080p splat), a coarse per-phase frame breakdown
-(VERDICT r1 #7; see bench_phases.py for the fine-grained version), and the issued-vs-
-useful pair-work ratio of the force kernels (VERDICT r1 #2).
+own — see BASELINE.md).  The headline runs the PLANE-RESIDENT production pipeline
+(ops/pallas/resident.py): state lives in cell planes, one lossless hole-fill rebin
+per frame, no sort after the initial binning.  Extra fields record the settle-safe
+default (capacity 128) measured AT EQUILIBRIUM (VERDICT r2 #6), the secondary
+workloads (flow-field rate, fused step+render p50, 1080p splat from planes and from
+raw positions), the per-phase frame breakdown, and the issued-vs-useful pair-work
+ratio of the force kernels.
 
 Protocol notes (hard-won; see runtime/timing.py): this runtime memoizes
 identical-input executions, its block_until_ready can return before completion
@@ -73,59 +76,54 @@ def _time_loop(step, state, frames):
 
 
 def measure_phases(spec, params, frame_ms):
-    """Per-frame phase split via cumulative prefixes, each timed as an in-jit
-    8-repetition loop over distinct inputs with a checksum output — the only
-    protocol that survives this runtime's identical-input memoization, its
-    non-blocking block_until_ready, AND its ~10s of ms per-RPC host-pull cost
-    (see runtime/timing.py).  Differences of successive prefixes give the phases.
+    """Per-frame phase split of the PLANE-RESIDENT pipeline via cumulative
+    prefixes, each timed as an in-jit 8-repetition loop over distinct inputs with
+    a checksum output — the only protocol that survives this runtime's
+    identical-input memoization, its non-blocking block_until_ready, AND its ~10s
+    of ms per-RPC host-pull cost (see runtime/timing.py).  Differences of
+    successive prefixes give the phases: rebin (the only structure work left),
+    force kernels, and the elementwise tail.
     """
+    from rust_particle_system_tpu.ops.pallas.rebin import SENTINEL, rebin_planes
+    from rust_particle_system_tpu.ops.pallas.resident import (
+        plane_state_from_particles,
+    )
     from rust_particle_system_tpu.runtime.timing import hsync
 
-    gh, gw, C = spec.gh, spec.gw, spec.capacity
-    nc = spec.num_cells
-    dt = params.dt
     R = 8
-    states = [uniform_init(jax.random.key(100 + i), N, BOUNDS) for i in range(R)]
-    pos8 = jnp.stack([st.pos for st in states])
-    vel8 = jnp.stack([st.vel for st in states])
+    dt = params.dt
+    pss = [
+        plane_state_from_particles(
+            uniform_init(jax.random.key(100 + i), N, BOUNDS).with_ids(), spec
+        )
+        for i in range(R)
+    ]
+    px8 = jnp.stack([ps.px for ps in pss])
+    py8 = jnp.stack([ps.py for ps in pss])
+    vx8 = jnp.stack([ps.vx for ps in pss])
+    vy8 = jnp.stack([ps.vy for ps in pss])
+    id8 = jnp.stack([ps.idsf for ps in pss])
 
-    ids = jnp.arange(N, dtype=jnp.int32)
+    def predicted(i):
+        live = px8[i] < 0.5 * SENTINEL
+        vx = jnp.where(live, vx8[i], 0.0)
+        vy = jnp.where(live, vy8[i] - params.gravity * dt, 0.0)
+        predx = jnp.where(live, px8[i] + vx * dt, SENTINEL)
+        predy = jnp.where(live, py8[i] + vy * dt, SENTINEL)
+        return predx, predy, vx, vy
 
-    def predict(i):
-        v = vel8[i] + jnp.array([0.0, -1.0], jnp.float32) * params.gravity * dt
-        return pos8[i] + v * dt, v
-
-    def upto_grid(i, acc):
-        pred, _ = predict(i)
-        g = build_grid(spec, pred, with_table=False)
-        return acc + jnp.sum(g.perm[::4096]).astype(jnp.float32)
-
-    def make_packed(i):
-        # The resident production gather: (pred, vel, pos, f32-valued ids).
-        pred, v = predict(i)
-        g = build_grid(spec, pred, with_table=False)
-        idsf = ids.astype(jnp.float32)
-        return g, jnp.concatenate([pred, v, pos8[i], idsf[:, None]], -1)[g.perm]
-
-    def upto_gather(i, acc):
-        _g, packed = make_packed(i)
-        return acc + jnp.sum(packed[::4096, 0])
-
-    def make_cells(i):
-        from rust_particle_system_tpu.ops.pallas.plane_build import cell_planes_aos
-        from rust_particle_system_tpu.ops.pallas.sph_step import _SENTINEL
-
-        g, packed = make_packed(i)
-        fills = (_SENTINEL, _SENTINEL, 0.0, 0.0)
-        return cell_planes_aos(packed[:, :4], g.starts, nc, C, fills, False)
-
-    def upto_planes(i, acc):
-        return acc + jnp.sum(make_cells(i)[::512, ::32, 0])
+    def upto_rebin(i, acc):
+        predx, predy, vx, vy = predicted(i)
+        planes, _ = rebin_planes([predx, predy, vx, vy, id8[i]], spec,
+                                 interpret=False, variant=5)
+        return acc + jnp.sum(planes[0][::32, ::32, 0])
 
     def upto_forces(i, acc):
-        cells = make_cells(i)
-        ch = tuple(cells[..., k].reshape(gh, gw, C) for k in range(4))
-        nvx, _ = _forces_from_cells(*ch, spec, params, False)
+        predx, predy, vx, vy = predicted(i)
+        planes, _ = rebin_planes([predx, predy, vx, vy, id8[i]], spec,
+                                 interpret=False, variant=5)
+        nvx, _ = _forces_from_cells(planes[0], planes[1], planes[2], planes[3],
+                                    spec, params, False)
         return acc + jnp.sum(nvx[::16, ::16, 0])
 
     def timed(body):
@@ -135,15 +133,11 @@ def measure_phases(spec, params, frame_ms):
         hsync(fn())
         return (time.perf_counter() - t0) / R * 1e3
 
-    t_grid = timed(upto_grid)
-    t_gather = timed(upto_gather)
-    t_planes = timed(upto_planes)
+    t_rebin = timed(upto_rebin)
     t_forces = timed(upto_forces)
     return {
-        "grid_build_ms": round(t_grid, 2),
-        "perm_gather_ms": round(t_gather - t_grid, 2),
-        "plane_kernel_ms": round(t_planes - t_gather, 2),
-        "force_kernels_ms": round(t_forces - t_planes, 2),
+        "rebin_ms": round(t_rebin, 2),
+        "force_kernels_ms": round(t_forces - t_rebin, 2),
         "tail_ms": round(frame_ms - t_forces, 2),
         "protocol": "in-jit x8 cumulative prefixes; tail = frame - prefix",
     }
@@ -187,33 +181,64 @@ def pair_efficiency(spec, pos):
 
 
 def main() -> None:
-    # Primary: grid-SPH with the pair-packed Pallas layout (aspect-1 cells, two
-    # cells per 128-lane row, half-shifted B-unit neighbors — 6 offsets, not 9).
+    from rust_particle_system_tpu.ops.pallas.resident import (
+        plane_frame,
+        plane_state_from_particles,
+        plane_step,
+        render_plane_state,
+    )
+    from rust_particle_system_tpu.runtime.timing import hsync, time_chained
+
+    # Primary: PLANE-RESIDENT state over the pair-packed layout (aspect-1 cells,
+    # two cells per 128-lane row, half-shifted B-unit neighbors — 6 offsets).
+    # The only sort the whole run executes is the initial binning; each frame is
+    # one lossless hole-fill rebin + the two force walks + the elementwise tail.
     spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=64, cell_aspect=1,
                                 pack2=True)
     params = rps.make_params(bounds=BOUNDS, gravity=300.0, shader_delay=0)
-    state = uniform_init(jax.random.key(0), N, BOUNDS).with_ids()
-    sph = jax.jit(
-        lambda s: sph_step_pallas(s, params, spec, resident=True), donate_argnums=0
-    )
-    _progress("headline...")
-    sph_elapsed, state = _time_loop(sph, state, FRAMES)
+    ps = plane_state_from_particles(
+        uniform_init(jax.random.key(0), N, BOUNDS).with_ids(), spec)
+    lost_init = int(ps.lost)
+    sph = jax.jit(lambda s: plane_step(s, params, spec), donate_argnums=0)
+    _progress("headline (plane-resident pack2)...")
+    ps = sph(sph(ps))  # compile + warm
+    per, ps = time_chained(sph, ps, FRAMES)
+    sph_elapsed = per * FRAMES
     sph_rate = FRAMES * N / sph_elapsed
+    lost_stepping = int(ps.lost) - lost_init  # lossless contract: must be 0
 
     # Pair-work efficiency (VERDICT r1 #2): issued slot-pairs per walk vs pairs
     # actually within the smoothing radius.
     _progress("pair_efficiency...")
-    issued, useful = pair_efficiency(spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
+    issued, useful = pair_efficiency(
+        spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
 
-    # Per-phase breakdown (VERDICT r1 #7).
+    # Per-phase breakdown (VERDICT r1 #7) of the plane pipeline.
     _progress("phases...")
     phases = measure_phases(spec, params, sph_elapsed / FRAMES * 1e3)
 
+    # Second headline row (VERDICT r2 #6): the settle-SAFE DEFAULT configuration
+    # (capacity 128, classic layout) measured in the regime it exists for — AT
+    # EQUILIBRIUM.  Run the fluid to its settled pool state, then time frames.
+    _progress("settled-state (settle-safe default C=128)...")
+    spec128 = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=128)
+    ps128 = plane_state_from_particles(
+        uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec128)
+    lost128_init = int(ps128.lost)
+    sph128 = jax.jit(lambda s: plane_step(s, params, spec128), donate_argnums=0)
+    ps128 = sph128(sph128(ps128))
+    SETTLE_FRAMES = 238
+    for _ in range(SETTLE_FRAMES):
+        ps128 = sph128(ps128)
+    hsync(ps128.px)
+    per128, ps128 = time_chained(sph128, ps128, 10)
+    settled_ms = per128 * 1e3
+    lost128 = int(ps128.lost) - lost128_init
+
     # Secondary: config-2 flow-field fused integrate at 1M, scanned (one dispatch
-    # per 100 frames — host dispatch costs ~8 ms/frame on this runtime, which would
-    # otherwise dominate an elementwise step).
+    # per 100 frames — host dispatch costs ~8 ms/frame on this runtime, which
+    # would otherwise dominate an elementwise step).
     from rust_particle_system_tpu.runtime.simulation import run_frames
-    from rust_particle_system_tpu.runtime.timing import hsync
 
     _progress("flow...")
     fparams = make_flow_params(bounds=BOUNDS)
@@ -227,54 +252,84 @@ def main() -> None:
     flow_elapsed = time.perf_counter() - t0
     flow_rate = FLOW_FRAMES * N / flow_elapsed
 
-    # Secondary: fused step + render p50 frame time (the BASELINE.json p50 metric).
-    from rust_particle_system_tpu.ops.pallas.sph_step import sph_frame_pallas
-
+    # Secondary: fused step + render p50 frame time (the BASELINE.json p50
+    # metric) — physics AND 1080p image from the planes, zero binning work.
+    rspec = RenderSpec(width=1920, height=1080, max_radius_px=2)
+    rparams = params._replace(particle_size=jnp.float32(2.0))
     fused = jax.jit(
-        lambda s: sph_frame_pallas(s, params, spec, RenderSpec(), bounds_static=BOUNDS,
-                                   resident=True),
+        lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS),
         donate_argnums=0,
     )
     _progress("fused...")
-    fstate2 = uniform_init(jax.random.key(2), N, BOUNDS).with_ids()
-    from rust_particle_system_tpu.runtime.timing import hsync
-
-    fstate2, img = fused(fstate2)
-    fstate2, img = fused(fstate2)
+    fps2 = plane_state_from_particles(
+        uniform_init(jax.random.key(2), N, BOUNDS).with_ids(), spec)
+    fps2, img = fused(fps2)
+    fps2, img = fused(fps2)
     hsync(img)
     t0 = time.perf_counter()
     for _ in range(11):
-        fstate2, img = fused(fstate2)
-    hsync((fstate2.pos, img))
+        fps2, img = fused(fps2)
+    hsync((fps2.px, img))
     p50_frame_ms = (time.perf_counter() - t0) / 11 * 1e3
 
-    # Secondary: 1080p point-splat render of 1M sprites — the PRODUCTION
-    # raw-positions path (SPHFluid.render identity camera): cell-plane binning +
-    # MXU patch rasterizer (ops/pallas/sph_step.py::render_state_planes).
-    # In-jit x4 over distinct states, checksum output — see measure_phases for why.
-    from rust_particle_system_tpu.ops.pallas.sph_step import render_state_planes
-
-    rspec = RenderSpec(width=1920, height=1080, max_radius_px=2)  # radius 2 px below
-    color = fstate.color
-    rstates = [uniform_init(jax.random.key(50 + i), N, BOUNDS) for i in range(4)]
-    rpos4 = jnp.stack([s.pos for s in rstates])
-    rparams = params._replace(particle_size=jnp.float32(2.0))
+    # Secondary: 1080p point-splat of 1M sprites from the PRODUCTION state — the
+    # plane-resident render needs NO binning (the planes feed the MXU patch
+    # rasterizer directly).  In-jit x4 over distinct states, checksum output.
+    _progress("splat (plane-resident)...")
+    rstates = [
+        plane_state_from_particles(
+            uniform_init(jax.random.key(50 + i), N, BOUNDS).with_ids(), spec)
+        for i in range(4)
+    ]
+    rpx = jnp.stack([r.px for r in rstates])
+    rpy = jnp.stack([r.py for r in rstates])
+    rvx = jnp.stack([r.vx for r in rstates])
+    rvy = jnp.stack([r.vy for r in rstates])
 
     @jax.jit
-    def splat4(rpos4, color):
+    def splat4(rpx, rpy, rvx, rvy):
+        import dataclasses as _dc
+
+        def one(i, acc):
+            psr = _dc.replace(
+                rstates[0], px=rpx[i], py=rpy[i], vx=rvx[i], vy=rvy[i])
+            img = render_plane_state(psr, rparams, spec, rspec,
+                                     bounds_static=BOUNDS)
+            return acc + jnp.sum(img[::64, ::64, 0])
+
+        return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
+
+    hsync(splat4(rpx, rpy, rvx, rvy))
+    t0 = time.perf_counter()
+    hsync(splat4(rpx, rpy, rvx, rvy))
+    render_ms = (time.perf_counter() - t0) / 4 * 1e3
+
+    # Raw-positions -> image path (one sort + gather + plane build + rasterize),
+    # for users whose positions do NOT already live in planes.
+    from rust_particle_system_tpu.core.state import make_state
+    from rust_particle_system_tpu.ops.pallas.sph_step import render_state_planes
+
+    _progress("splat (raw positions)...")
+    rawstates = [uniform_init(jax.random.key(70 + i), N, BOUNDS)
+                 for i in range(4)]
+    rpos4 = jnp.stack([st.pos for st in rawstates])
+    color = rawstates[0].color
+
+    @jax.jit
+    def splat4raw(rpos4, color):
         def one(i, acc):
             img = render_state_planes(
                 make_state(rpos4[i], color=color), rparams, spec, rspec,
                 bounds_static=BOUNDS,
             )
             return acc + jnp.sum(img[::64, ::64, 0])
+
         return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
 
-    _progress("splat...")
-    hsync(splat4(rpos4, color))
+    hsync(splat4raw(rpos4, color))
     t0 = time.perf_counter()
-    hsync(splat4(rpos4, color))
-    render_ms = (time.perf_counter() - t0) / 4 * 1e3
+    hsync(splat4raw(rpos4, color))
+    render_raw_ms = (time.perf_counter() - t0) / 4 * 1e3
 
     print(
         json.dumps(
@@ -286,14 +341,20 @@ def main() -> None:
                 "n_particles": N,
                 "frames": FRAMES,
                 "sph_ms_per_frame": round(sph_elapsed / FRAMES * 1e3, 2),
+                "lost_at_init": lost_init,
+                "lost_while_stepping": lost_stepping,
+                "settled_ms_per_frame_c128": round(settled_ms, 2),
+                "settled_steps_per_sec_c128": round(N / settled_ms * 1e3),
+                "settled_lost_c128": lost128,
                 "fused_frame_ms": round(p50_frame_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
+                "splat_1080p_raw_ms": round(render_raw_ms, 3),
                 "pairs_issued_per_walk": issued,
                 "pairs_useful_per_walk": useful,
                 "pair_waste_ratio": round(issued / max(useful, 1), 2),
                 "phases": phases,
-                "backend": "pallas_sph_pack2",
+                "backend": "pallas_plane_resident_pack2",
                 "device": str(jax.devices()[0]),
             }
         )

@@ -59,8 +59,12 @@ def dct_coeffs(vals):
     return c
 
 
-def cheb_eval_multi(coeffs, pts):
-    """Evaluate a 4D Chebyshev series at pts [m, 4] in [-1, 1]^4."""
+def cheb_eval_multi(coeffs, pts, chunk=512):
+    """Evaluate a 4D Chebyshev series at pts [m, 4] in [-1, 1]^4.
+
+    Chunked: the tensor contraction's leading intermediate is [chunk, n^3]
+    (~1 GB at degree 24 for 200k points unchunked — it thrashed; keep it <100 MB).
+    """
     n = coeffs.shape[0]
     # T matrix per axis: [m, n]
     Ts = []
@@ -73,9 +77,16 @@ def cheb_eval_multi(coeffs, pts):
         for k in range(2, n):
             T[:, k] = 2 * x * T[:, k - 1] - T[:, k - 2]
         Ts.append(T)
-    # contract: sum over abcd coeffs[a,b,c,e] Ta Tb Tc Te
-    out = np.einsum("abce,ma,mb,mc,me->m", coeffs, Ts[0], Ts[1], Ts[2], Ts[3],
-                    optimize=True)
+    m = pts.shape[0]
+    out = np.empty(m)
+    cflat = coeffs.reshape(n, -1)  # [a, bce]
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        # progressive per-axis contraction, point-major
+        t = (Ts[0][s:e] @ cflat).reshape(e - s, n, n, n)  # [m', b, c, e]
+        t = np.einsum("mbce,mb->mce", t, Ts[1][s:e])
+        t = np.einsum("mce,mc->me", t, Ts[2][s:e])
+        out[s:e] = np.einsum("me,me->m", t, Ts[3][s:e])
     return out
 
 
@@ -111,7 +122,7 @@ def fit_offset(offset, deg, nq=None):
     vals = pair_funcs(XI, YI, XJ, YJ)
 
     rng = np.random.default_rng(0)
-    m = 200_000
+    m = 100_000
     pts = rng.random((m, 4))
     pxi, pyi = pts[:, 0], pts[:, 1]
     pxj, pyj = offset[0] + pts[:, 2], offset[1] + pts[:, 3]
@@ -150,3 +161,60 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# MEASURED OUTPUT (2026-08-17, this machine, m=100k eval points per offset)
+# ---------------------------------------------------------------------------
+# Errors are relative to the in-support max magnitude of each function.
+#
+# === tensor degree 8 (basis 81 per side) ===
+#   side(1,0)  G1_spiky_dir   in-rms  1.23e-02  in-max  6.87e-01  out-max  2.50e-02
+#   side(1,0)  G2_near_dir    in-rms  1.19e-02  in-max  7.15e-01  out-max  1.36e-03
+#   side(1,0)  D1_density     in-rms  1.26e-03  in-max  5.27e-02  out-max  1.36e-03
+#   side(1,0)  V_viscosity    in-rms  4.47e-04  in-max  1.83e-03  out-max  1.54e-03
+#   side(1,0)  P1_poly_dir    in-rms  5.51e-03  in-max  2.34e-02  out-max  2.04e-02
+#   diag(1,1)  G1_spiky_dir   in-rms  4.86e-03  in-max  4.53e-02  out-max  2.91e-02
+#   diag(1,1)  G2_near_dir    in-rms  6.92e-04  in-max  4.43e-02  out-max  1.67e-03
+#   diag(1,1)  D1_density     in-rms  5.57e-04  in-max  2.22e-03  out-max  1.67e-03
+#   diag(1,1)  V_viscosity    in-rms  4.65e-04  in-max  1.78e-03  out-max  1.66e-03
+#   diag(1,1)  P1_poly_dir    in-rms  4.72e-03  in-max  2.45e-02  out-max  1.99e-02
+#   own(0,0)   G1_spiky_dir   in-rms  6.25e-02  in-max  9.72e-01  out-max  1.59e-02
+#   own(0,0)   G2_near_dir    in-rms  6.26e-02  in-max  9.76e-01  out-max  1.43e-02
+#   own(0,0)   D1_density     in-rms  1.21e-02  in-max  8.73e-02  out-max  5.32e-03
+#   own(0,0)   V_viscosity    in-rms  4.21e-05  in-max  6.12e-04  out-max  7.18e-04
+#   own(0,0)   P1_poly_dir    in-rms  4.62e-04  in-max  7.79e-03  out-max  8.17e-03
+# === tensor degree 12 (basis 169 per side) ===
+#   side(1,0)  G1_spiky_dir   in-rms  7.35e-03  in-max  5.61e-01
+#   own(0,0)   G1_spiky_dir   in-rms  4.35e-02  in-max  9.56e-01
+#   own(0,0)   D1_density     in-rms  5.92e-03  in-max  5.54e-02
+#   own(0,0)   V_viscosity    in-rms  9.08e-06  in-max  1.68e-04
+#   own(0,0)   P1_poly_dir    in-rms  1.68e-04  in-max  3.58e-03
+# === tensor degree 16 (basis 289 per side) ===
+#   side(1,0)  G1_spiky_dir   in-rms  5.16e-03  in-max  4.12e-01
+#   own(0,0)   G1_spiky_dir   in-rms  3.34e-02  in-max  9.43e-01
+#   own(0,0)   D1_density     in-rms  3.48e-03  in-max  4.04e-02
+#   own(0,0)   V_viscosity    in-rms  3.31e-06  in-max  6.30e-05
+#   own(0,0)   P1_poly_dir    in-rms  8.47e-05  in-max  2.08e-03
+# === tensor degree 20 (basis 441 per side) ===
+#   own(0,0)   G1_spiky_dir   in-rms  2.71e-02  in-max  9.29e-01
+#   own(0,0)   P1_poly_dir    in-rms  4.98e-05  in-max  1.18e-03
+# === tensor degree 24 (basis 625 per side) ===
+#   side(1,0)  G1_spiky_dir   in-rms  2.22e-03  in-max  1.57e-01  out-max  9.67e-03
+#   side(1,0)  D1_density     in-rms  8.22e-05  in-max  6.27e-03  out-max  2.07e-04
+#   diag(1,1)  G1_spiky_dir   in-rms  1.06e-03  in-max  1.08e-02  out-max  1.08e-02
+#   own(0,0)   G1_spiky_dir   in-rms  2.28e-02  in-max  9.14e-01  out-max  4.28e-03
+#   own(0,0)   G2_near_dir    in-rms  2.29e-02  in-max  9.18e-01  out-max  4.10e-04
+#   own(0,0)   D1_density     in-rms  1.66e-03  in-max  2.71e-02  out-max  1.19e-04
+#   own(0,0)   V_viscosity    in-rms  8.17e-07  in-max  1.96e-05  out-max  1.81e-05
+#   own(0,0)   P1_poly_dir    in-rms  3.19e-05  in-max  8.00e-04  out-max  7.56e-04
+#
+# READING: the spec's spiky direction factors G1/G2 ((xj-xi)(h-d)^k/d) do NOT
+# converge on own/side offsets — in-max plateaus at ~0.92 (own) / 0.16 (side,
+# deg 24) because the d->0 direction discontinuity is not polynomial-
+# approximable; rms improves only algebraically (6.3e-2 -> 2.3e-2 over 8->24).
+# The poly-in-d^2 family is the opposite story: V (the spec's own viscosity
+# kernel) hits 2e-5 max, and the poly6-style gradient P1 = dx*(h^2-d^2)^2 hits
+# 8e-4 (own) / 2.9e-3 (side) at deg 24, and is already at 3.6e-3 by deg 12
+# (basis 169).  DECISION in BASELINE.md: NO-GO for spec-exact MXU pair math;
+# GO only as an opt-in poly-kernel fast mode (kernel-spec freedom).

@@ -4,7 +4,15 @@ Bundles the reference's full per-frame pipeline (grid build -> density -> pressu
 viscosity -> integrate -> bounce -> colour, `src/particle_compute.rs:91-195`) plus its
 render pass into the Model protocol.  Backend selection:
 
-* ``backend="pallas"`` — Pallas force kernels over wide cells (production TPU path)
+* ``backend="pallas"`` — Pallas force kernels over cell planes (production TPU path).
+  By default the state is PLANE-RESIDENT (``ops/pallas/resident.PlaneState``):
+  particles live in their cell slots across frames, re-binned each frame by one
+  LOSSLESS local hole-fill kernel (``ops/pallas/rebin.py`` variant 5) instead of
+  the full sort + gather + plane-build pipeline; renders feed the MXU rasterizer
+  with no binning at all.  Movers that find no free destination slot are retained
+  and force-deferred for the frame (the stream path's overflow contract) — no
+  particle is ever dropped while stepping.  ``plane_resident=False`` falls back
+  to the stream step (sorted-resident rows).
 * ``backend="grid"``  — pure-JAX spatial-grid step (default; CPU-friendly)
 * ``backend="oracle"`` — all-pairs O(n²) step (small n, exact spec)
 """
@@ -30,6 +38,9 @@ class SPHFluid:
     bounds: tuple
     backend: str = "grid"
     chunk_cells: int = 256
+    # Pallas backend only: carry state in cell planes across frames (the
+    # production configuration — no per-frame sort; see ops/pallas/resident.py).
+    plane_resident: bool = True
 
     @classmethod
     def create(
@@ -42,6 +53,7 @@ class SPHFluid:
         render_spec: RenderSpec | None = None,
         capacity_safety: float = 16.0,
         pack2: bool = False,
+        plane_resident: bool = True,
     ) -> "SPHFluid":
         if backend == "auto":
             # Pallas force kernels on TPU; the pure-JAX grid path elsewhere.
@@ -82,6 +94,7 @@ class SPHFluid:
             render_spec=render_spec or RenderSpec(),
             bounds=tuple(float(b) for b in bounds),
             backend=backend,
+            plane_resident=bool(plane_resident),
         )
 
     @property
@@ -93,19 +106,26 @@ class SPHFluid:
     def default_params(self) -> SimParams:
         return make_params(bounds=self.bounds)
 
-    def init(self, key: jax.Array, n: int) -> ParticleState:
+    def init(self, key: jax.Array, n: int):
         state = scatter_init(key, n, self.bounds)
         if self.backend == "pallas":
-            # Production steps run sorted-RESIDENT: state rows live in cell-sorted
-            # order across frames (no per-frame inverse permutation); the ids
-            # column tracks each row's original identity.
+            if self.plane_resident:
+                # Production state: cell planes carried across frames; ONE initial
+                # binning here is the only sort the simulation ever runs.
+                from ..ops.pallas.resident import plane_state_from_particles
+
+                return plane_state_from_particles(state, self.grid)
+            # Stream fallback: sorted-resident rows + an ids identity column.
             state = state.with_ids()
         return state
 
-    def step(self, state: ParticleState, params: SimParams) -> ParticleState:
+    def step(self, state, params: SimParams):
         if self.backend == "pallas":
+            from ..ops.pallas.resident import PlaneState, plane_step
             from ..ops.pallas.sph_step import sph_step_pallas
 
+            if isinstance(state, PlaneState):
+                return plane_step(state, params, self.grid)
             return sph_step_pallas(state, params, self.grid,
                                    resident=state.ids is not None)
         if self.backend == "grid":
@@ -121,16 +141,29 @@ class SPHFluid:
         geometry meets the plane rasterizer's static preconditions (integral pixel
         strides, stride >= 2*margin, radius <= margin); any other camera or
         geometry falls back to the general splat."""
+        from ..ops.pallas.resident import PlaneState
+
         if self.backend == "pallas" and camera is None and self.grid is not None:
             from ..ops.pallas.sph_step import render_state_planes
             from ..render.splat_planes import MARGIN, planes_compatible
 
             margin = min(MARGIN, self.render_spec.max_radius_px)
             if planes_compatible(self.grid, self.render_spec, self.bounds, margin):
+                if isinstance(state, PlaneState):
+                    # Plane-resident render: NO binning at all — the planes feed
+                    # the MXU patch rasterizer directly.
+                    from ..ops.pallas.resident import render_plane_state
+
+                    return render_plane_state(
+                        state, params, self.grid, self.render_spec,
+                        bounds_static=self.bounds,
+                    )
                 return render_state_planes(
                     state, params, self.grid, self.render_spec,
                     bounds_static=self.bounds,
                 )
+        if isinstance(state, PlaneState):
+            state = state.to_particle_state(params)
         return splat(
             state.pos, state.color, params.particle_size, params.bounds,
             self.render_spec, camera=camera,
@@ -145,8 +178,12 @@ class SPHFluid:
         if self.backend != "pallas":
             new_state = self.step(state, params)
             return new_state, self.render(new_state, params)
+        from ..ops.pallas.resident import PlaneState, plane_frame
         from ..ops.pallas.sph_step import sph_frame_pallas
 
+        if isinstance(state, PlaneState):
+            return plane_frame(state, params, self.grid, self.render_spec,
+                               bounds_static=self.bounds)
         return sph_frame_pallas(
             state, params, self.grid, self.render_spec, bounds_static=self.bounds,
             resident=state.ids is not None,

@@ -12,9 +12,47 @@ This replaces the reference's entire per-frame binning pipeline —
 ``bin_particles_in_grid`` + 136 bitonic sort dispatches + offset scan
 (`src/particle_compute.rs:106-163`) — with a single local compaction.
 
-Kernel formulations (both exact vs the oracle; measured in protos/rebin_roll.py):
+Kernel formulations (all exact vs their oracles; measured in protos/rebin_roll.py,
+protos/time_rebin_v3.py and protos/time_rebin_v4.py):
 
-* ``variant=3`` (default): NO lane-roll chains — two MXU stages.  (1) the dest rank
+* ``variant=5`` (default): LOSSLESS separable hole-fill — variant 4 plus three
+  rules that make dropping impossible: holes = dead slots only (a mover vacates
+  its slot only when a neighbor actually adopts it — an ``accepted`` mask feeds a
+  host-side retention merge); the adoption test clamps the destination toward the
+  source, so >1-cell/frame movers hop one cell per frame toward their
+  destination; and retained/in-transit movers are DEFERRED — the physics step
+  parks them out of the force walk for the frame, the stream path's
+  capacity-overflow contract.  Costs one extra mask output + two elementwise
+  merges over variant 4.
+
+* ``variant=4``: SEPARABLE HOLE-FILL — the fast lossy formulation.
+  Two observations kill most of the v3 cost: (a) only ~10-25% of particles change
+  cell in a CFL-bounded frame, so full-window compaction re-places 4-10x more data
+  than moved; (b) a one-cell-per-frame move decomposes into a row move then a
+  column move.  Each frame runs two passes; in each, STAYERS KEEP THEIR SLOTS
+  (holes are tolerated — the force kernels sentinel-mask dead slots anyway) and
+  only the movers relocate, into the *holes* of the destination cell:
+
+      pass Y: cell (r, c) adopts movers from (r±1, c) whose dest ROW is r
+      pass X: cell (r, c) adopts movers from (r, c±1) whose dest cell is (r, c)
+
+  Each pass sees a 2C-lane candidate window (two neighbor cells) instead of v3's
+  9C, so the rank/one-hot/apply work shrinks ~4.5x per pass.  Mechanics per pass:
+  arrival rank = prefix sum of the keep mask over the 2C window (one MXU matmul
+  with the upper-triangular ones matrix), hole rank = prefix over the own C lanes,
+  one-hot ``O[w, s] = keep[w] & hole[s] & (arank[w] == hrank[s])``, values applied
+  by batched one-hot matmuls as in v3.
+
+  Drop contract (stricter than v3 in one corner): a pass drops arrivals beyond the
+  destination cell's *hole* count — so a particle can be dropped when its
+  INTERMEDIATE cell (correct row, old column) is full even if its final cell had
+  room.  Both passes' drops plus >1-cell CFL escapes show up as a live-count
+  deficit; callers diff live totals (``counts`` returns final per-cell LIVE
+  counts, always <= C).  Slot order is NOT compacted: live slots interleave with
+  holes (sentinel-parked), which every consumer (force walks, rasterizer,
+  ``to_particle_state``) already handles via live masks.
+
+* ``variant=3``: single-pass full-window compaction — two MXU stages.  (1) the dest rank
   of every candidate = an inclusive prefix sum of the keep mask over the 9C-lane
   window, computed as ONE ``[BC, W9] x [W9, W9]`` matmul with the upper-triangular
   ones matrix (0/1 operands are exact at default precision, f32 accumulate);
@@ -51,6 +89,15 @@ from ..grid import GridSpec
 BC = 128  # dest cells per program
 SUBA = 8  # dest cells per one-hot apply batch
 SENTINEL = 1.0e6  # dead-slot parking position (== ops/pallas/sph.py::_SENTINEL)
+
+# v4 tuning knobs (read at trace time; protos/time_rebin_v4.py sweeps them).
+V4_BC = 128  # dest cells per program
+V4_SUBA = 8  # dest cells per one-hot apply batch
+# One-hot value apply precision.  Must stay HIGHEST: values pass through
+# bit-exactly.  (HIGH/bf16_3x would also be exact for 0/1 x f32 operands, but
+# this Mosaic toolchain rejects it: "Unsupported dot precision: HIGH" — retest
+# per round via protos/time_rebin_v4.py "8,128,high".)
+V4_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _round_up(x, m):
@@ -121,6 +168,258 @@ def _make_kernel_v3(C: int, k: int, gw: int, gh: int, x_min: float, y_min: float
         cnt_ref[:] = total
 
     return kernel
+
+
+def _make_kernel_v4(C: int, k: int, gw: int, gh: int, x_min: float, y_min: float,
+                    cell_w: float, cell_h: float, fills: tuple, row_only: bool,
+                    suba: int | None = None, bc: int | None = None,
+                    lossless: bool = False, nc_valid: int | None = None):
+    """One separable hole-fill pass: stayers keep slots, movers fill dest holes.
+
+    Window refs are ``[BC, 2C]`` per channel: lanes [0, C) = the upstream neighbor
+    cell (cell − shift), lanes [C, 2C) = downstream (cell + shift).  ``row_only``
+    selects the pass-Y keep test (dest row == own row; column ignored — the mover
+    lands in (dest_row, src_col) as a transit stop) vs the pass-X full-cell test.
+
+    ``lossless`` (the v5 semantics) changes three things so that NO particle is
+    ever dropped:
+
+    * holes = DEAD slots only — a mover's slot is not offered as a hole, because
+      the mover only vacates if some neighbor actually adopts it;
+    * the keep test CLAMPS the destination toward the source (pass Y, group from
+      row r−1: adopt if dest_row >= own row), so >1-cell/frame movers hop one
+      cell per frame toward their destination instead of escaping;
+    * an ``accepted`` mask over the window lanes is emitted; the host-side
+      retention merge (:func:`_retention_merge`) puts every un-adopted mover back
+      in its source slot.  Retained movers are "deferred": their destination cell
+      differs from their resident cell, and the physics step parks them out of
+      the force walk for the frame — exactly the stream path's capacity-overflow
+      contract (ops/grid.py: overflow particles exert/receive no grid forces).
+    """
+    W2 = 2 * C
+    suba = V4_SUBA if suba is None else suba
+    bc = V4_BC if bc is None else bc
+
+    def kernel(off_ref, uta_ref, uth_ref, *refs):
+        wins = refs[:k]
+        owns = refs[k : 2 * k]
+        outs = refs[2 * k : 2 * k + k]
+        cnt_ref = refs[2 * k + k]
+        acc_ref = refs[2 * k + k + 1] if lossless else None
+        t = pl.program_id(0)
+
+        # Band sharding: ``off_ref`` holds this shard's first GLOBAL cell row
+        # (0 on a single chip); destination-row compares are in global rows.
+        cell = t * bc + jax.lax.broadcasted_iota(jnp.int32, (bc, 1), 0)
+        cy = cell // gw + off_ref[0]
+        cx = cell - (cell // gw) * gw
+        valid_cell = (cell < nc_valid) if nc_valid is not None else (cell >= 0)
+
+        def dest(x, y):
+            kx = jnp.clip(jnp.floor((x - x_min) / cell_w).astype(jnp.int32),
+                          0, gw - 1)
+            ky = jnp.clip(jnp.floor((y - y_min) / cell_h).astype(jnp.int32),
+                          0, gh - 1)
+            return kx, ky
+
+        # keep: live window lanes whose destination is THIS cell (live test first:
+        # sentinels clip into the bottom-right cell).
+        wx, wy = wins[0][:], wins[1][:]
+        kxw, kyw = dest(wx, wy)
+        wlive = wx < 0.5 * SENTINEL
+        if not lossless:
+            keep = (wlive & (kyw == cy)) if row_only else (
+                wlive & (kyw == cy) & (kxw == cx))
+            keep = keep & valid_cell
+        else:
+            # Clamped adoption: group 0 lanes come from the upstream cell (row
+            # r−1 / col c−1), group 1 from downstream.  A multi-cell mover is
+            # adopted by the next cell TOWARD its destination.  The two group
+            # tests are mutually exclusive, so no double adoption.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bc, W2), 1)
+            g0 = lane < C
+            g1 = jnp.logical_not(g0)
+            # (no jnp.where over bools: Mosaic cannot lower the i8->i1 truncation)
+            if row_only:
+                keep = wlive & ((g0 & (kyw >= cy)) | (g1 & (kyw <= cy)))
+            else:
+                # Column-pass windows are FLAT shifts: at row edges the lane
+                # wraps to the adjacent row's far cell, which is NOT a neighbor.
+                # v4's exact-match row test rejects those for free; the clamped
+                # test must exclude them explicitly (in-transit particles there
+                # can satisfy kyw == cy), else a wrapped lane gets adopted AND
+                # retained — a duplication (caught by the conservation bench).
+                keep = wlive & (kyw == cy) & (
+                    (g0 & (kxw >= cx) & (cx > 0))
+                    | (g1 & (kxw <= cx) & (cx < gw - 1)))
+            keep = keep & valid_cell
+
+        # stay: live own lanes staying put this pass.
+        ox, oy = owns[0][:], owns[1][:]
+        kxo, kyo = dest(ox, oy)
+        olive = ox < 0.5 * SENTINEL
+        if row_only:
+            stay = olive & (kyo == cy)
+        elif lossless:
+            # Row-transit slots (dest row not yet this row) cannot move in the
+            # column pass — they stay and retry rows next frame.
+            stay = olive & ((kyo != cy) | (kxo == cx))
+        else:
+            stay = olive & (kyo == cy) & (kxo == cx)
+        # Lossy: every non-stayer (dead or mover) is a fillable hole.  Lossless:
+        # only DEAD slots are holes — movers vacate solely via adoption.
+        hole = jnp.logical_not(olive) if lossless else jnp.logical_not(stay)
+
+        # Ranks via MXU prefix sums (0/1 x 0/1 triangular matmuls are exact).
+        apsum = jax.lax.dot_general(
+            jnp.where(keep, 1.0, 0.0), uta_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BC, W2] inclusive
+        arank = apsum.astype(jnp.int32) - 1
+        narr = apsum[:, W2 - 1 : W2].astype(jnp.int32)  # [BC, 1]
+        hpsum = jax.lax.dot_general(
+            jnp.where(hole, 1.0, 0.0), uth_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BC, C]
+        hrank = hpsum.astype(jnp.int32) - 1
+        nlive = jnp.sum(jnp.where(stay, 1.0, 0.0), axis=1, keepdims=True) + \
+            jnp.minimum(narr.astype(jnp.float32), hpsum[:, C - 1 : C])
+
+        # Statically unrolled suba batches (Mosaic cannot dynamic-slice VALUES).
+        for i in range(bc // suba):
+            r0 = i * suba
+            kpf = jnp.where(keep[r0 : r0 + suba], 1.0, 0.0)  # [suba, W2]
+            hf = jnp.where(hole[r0 : r0 + suba], 1.0, 0.0)  # [suba, C]
+            rk = arank[r0 : r0 + suba]
+            hr = hrank[r0 : r0 + suba]
+            eq = rk[:, :, None] == hr[:, None, :]  # [suba, W2, C]
+            onehot = jnp.where(eq, kpf[:, :, None] * hf[:, None, :], 0.0)
+            vals = jnp.stack(
+                [wins[c][r0 : r0 + suba, :] for c in range(k)], axis=1
+            )  # [suba, k, W2]
+            app = jax.lax.dot_general(
+                vals, onehot, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=V4_PRECISION,
+            )  # [suba, k, C]
+            filled = hole[r0 : r0 + suba] & (
+                hrank[r0 : r0 + suba] < narr[r0 : r0 + suba])
+            stays = stay[r0 : r0 + suba]
+            for c in range(k):
+                outs[c][r0 : r0 + suba, :] = jnp.where(
+                    stays, owns[c][r0 : r0 + suba, :],
+                    jnp.where(filled, app[:, c, :], jnp.float32(fills[c])))
+        cnt_ref[:] = nlive.astype(jnp.int32)
+        if lossless:
+            nholes = hpsum[:, C - 1 : C].astype(jnp.int32)
+            acc_ref[:] = jnp.where(keep & (arank < nholes), 1.0, 0.0)
+
+    return kernel
+
+
+def _hole_fill_pass(flats, spec: GridSpec, fills, shift: int, row_only: bool,
+                    interpret: bool, lossless: bool = False, ghosts=None,
+                    row_offset=None, nc_valid: int | None = None):
+    """Run one v4/v5 pass over flat ``[nc_pad, C]`` channel arrays (pre-padded
+    with their fills).  Returns (new_flats, live_counts[nc_pad], accepted) where
+    ``accepted`` is the [nc_pad, 2C] adoption mask (lossless only, else None).
+
+    Band sharding hooks (parallel/plane_sharded.py): ``ghosts`` = per-channel
+    ``(lo_row, hi_row)`` [shift, C] blocks that replace the out-of-range window
+    fills (the ppermute'd neighbor-band boundary rows); ``row_offset`` = this
+    shard's first global cell row (traced scalar); ``nc_valid`` masks the cells
+    beyond the shard's real cell count so pad cells never adopt."""
+    nc_pad, C = flats[0].shape
+    k = len(flats)
+    W2 = 2 * C
+    bc = V4_BC
+
+    nc_real = nc_valid if nc_valid is not None else nc_pad
+
+    def shifted(p, sh, fill, ghost=None):
+        # window lane group = plane[cell - sh] (upstream when sh > 0)
+        blk = (jnp.full((abs(sh), C), fill, p.dtype) if ghost is None
+               else ghost.reshape(abs(sh), C).astype(p.dtype))
+        if sh > 0:
+            return jnp.concatenate([blk, p[:-sh]])
+        # Downstream: the ghost block belongs at the REAL tail rows
+        # [nc_real − |sh|, nc_real), before any cell padding.
+        sh = -sh
+        pad = jnp.full((nc_pad - nc_real, C), fill, p.dtype)
+        return jnp.concatenate([p[sh:nc_real], blk, pad])
+
+    wins = [
+        jnp.concatenate(
+            [shifted(p, shift, f, None if ghosts is None else ghosts[c][0]),
+             shifted(p, -shift, f, None if ghosts is None else ghosts[c][1])],
+            axis=1)
+        for c, (p, f) in enumerate(zip(flats, fills))
+    ]
+    uta = jnp.triu(jnp.ones((W2, W2), jnp.float32))
+    uth = jnp.triu(jnp.ones((C, C), jnp.float32))
+    win_spec = pl.BlockSpec((bc, W2), lambda t: (t, 0))
+    own_spec = pl.BlockSpec((bc, C), lambda t: (t, 0))
+    out_specs = [own_spec] * k + [pl.BlockSpec((bc, 1), lambda t: (t, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nc_pad, C), jnp.float32)] * k + [
+        jax.ShapeDtypeStruct((nc_pad, 1), jnp.int32)]
+    if lossless:
+        out_specs.append(win_spec)
+        out_shape.append(jax.ShapeDtypeStruct((nc_pad, W2), jnp.float32))
+    off = (jnp.zeros((1,), jnp.int32) if row_offset is None
+           else jnp.asarray(row_offset, jnp.int32).reshape(1))
+    res = pl.pallas_call(
+        _make_kernel_v4(C, k, spec.gw, spec.gh, float(spec.x_min),
+                        float(spec.y_min), float(spec.cell_width),
+                        float(spec.cell_size), fills, row_only,
+                        lossless=lossless, nc_valid=nc_valid),
+        grid=(nc_pad // bc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((W2, W2), lambda t: (0, 0)),
+                  pl.BlockSpec((C, C), lambda t: (0, 0))]
+        + [win_spec] * k + [own_spec] * k,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(off, uta, uth, *wins, *flats)
+    acc = res[k + 1] if lossless else None
+    return list(res[:k]), res[k][:, 0], acc
+
+
+def _retention_merge(in_flats, out_flats, acc, spec: GridSpec, shift: int,
+                     row_only: bool, row_offset=None, extra_adopted=None):
+    """Put un-adopted movers back in their source slots (the v5 no-drop rule).
+
+    ``acc`` rows are DEST cells: group-0 lane j says "I adopted slot j of cell
+    (me − shift)", group 1 "... of cell (me + shift)".  Re-aligned to source
+    rows, a mover is adopted iff either neighbor took it; everything else that
+    moved keeps its old slot (and stays out of the force walk until it lands —
+    see the kernel docstring)."""
+    nc_pad, C = in_flats[0].shape
+
+    def shback(p, sh):
+        # value at source row s = p[s + sh]
+        blk = jnp.zeros((abs(sh), C), p.dtype)
+        return (jnp.concatenate([p[sh:], blk]) if sh > 0
+                else jnp.concatenate([blk, p[: sh]]))
+
+    adopted = shback(acc[:, :C], shift) + shback(acc[:, C:], -shift)
+    if extra_adopted is not None:  # remote (cross-band) adoption, already aligned
+        adopted = adopted + extra_adopted
+    x, y = in_flats[0], in_flats[1]
+    kx = jnp.clip(jnp.floor((x - spec.x_min) / spec.cell_width).astype(jnp.int32),
+                  0, spec.gw - 1)
+    ky = jnp.clip(jnp.floor((y - spec.y_min) / spec.cell_size).astype(jnp.int32),
+                  0, spec.gh - 1)
+    cellr = jnp.arange(nc_pad, dtype=jnp.int32)[:, None]
+    cy = cellr // spec.gw + (0 if row_offset is None
+                             else jnp.asarray(row_offset, jnp.int32))
+    cx = cellr - (cellr // spec.gw) * spec.gw
+    live = x < 0.5 * SENTINEL
+    mover = (live & (ky != cy)) if row_only else (
+        live & (ky == cy) & (kx != cx))
+    retain = mover & (adopted < 0.5)
+    return [jnp.where(retain, i, o) for i, o in zip(in_flats, out_flats)]
 
 
 def _make_kernel_v2(C: int, k: int, gw: int, gh: int, x_min: float, y_min: float,
@@ -202,15 +501,19 @@ def _make_kernel_v2(C: int, k: int, gw: int, gh: int, x_min: float, y_min: float
 
 
 def rebin_planes(planes, spec: GridSpec, fills=None, interpret: bool | None = None,
-                 variant: int = 3):
+                 variant: int = 5):
     """Re-bin plane-resident channels by their (x, y) key channels.
 
     ``planes``: list of k ``[gh, gw, C]`` f32 channel planes; channels 0 and 1 are
     the keying x/y positions (dead slots MUST carry ``SENTINEL``).  ``fills`` gives
     each channel's dead-slot fill (default: SENTINEL for channels 0/1, else 0).
 
-    Returns ``(new_planes, counts)`` with counts ``[gh*gw]`` int32 = per-cell
-    CANDIDATE totals (values above C mean dropped overflow).
+    Returns ``(new_planes, counts)``, counts ``[gh*gw]`` int32.  Variants 2/3:
+    counts = per-cell CANDIDATE totals (values above C mean dropped overflow) and
+    live slots are compacted to the low lanes.  Variants 4/5: counts = per-cell
+    final LIVE totals (always <= C) and live slots stay interleaved with sentinel
+    holes; variant 5 (default) additionally never drops — un-adopted movers are
+    retained in place (see the module docstring for the full contract).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -222,6 +525,28 @@ def rebin_planes(planes, spec: GridSpec, fills=None, interpret: bool | None = No
         fills = tuple(SENTINEL if c < 2 else 0.0 for c in range(k))
     fills = tuple(float(f) for f in fills)
     nc_pad = _round_up(nc, BC)
+
+    if variant in (4, 5):
+        lossless = variant == 5
+
+        def flat(p, f):
+            x = p.reshape(nc, C)
+            if nc_pad > nc:
+                x = jnp.concatenate(
+                    [x, jnp.full((nc_pad - nc, C), f, jnp.float32)])
+            return x
+
+        flats = [flat(p, f) for p, f in zip(planes, fills)]
+        mid, _, acc = _hole_fill_pass(flats, spec, fills, spec.gw, True,
+                                      interpret, lossless)
+        if lossless:
+            mid = _retention_merge(flats, mid, acc, spec, spec.gw, True)
+        out, cnts, acc = _hole_fill_pass(mid, spec, fills, 1, False, interpret,
+                                         lossless)
+        if lossless:
+            out = _retention_merge(mid, out, acc, spec, 1, False)
+            cnts = jnp.sum(out[0] < 0.5 * SENTINEL, axis=1, dtype=jnp.int32)
+        return [x[:nc].reshape(gh, gw, C) for x in out], cnts[:nc]
 
     def windows(p, fill):
         # ghost-pad one cell of sentinels, then three dx-shifted views -> [*, 3C]

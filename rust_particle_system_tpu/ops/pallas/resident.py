@@ -10,16 +10,14 @@ cell.  The render needs no binning at all: the planes feed the MXU patch rasteri
 (render/splat_planes.py) directly.
 
 Semantics match the bulk-synchronous spec of ops/grid_step.py / sph_step.py (the
-reference's five GPU dispatches, src/particle_compute.rs:91-195) with the plane
-path's drop contract:
-
-* particles beyond a cell's ``capacity`` at rebin time are dropped (the stream
-  path's overflow analog — there they merely skip grid forces for the frame);
-* particles that move MORE than one cell in one frame escape the 3x3 rebin window
-  and are dropped.  Under the reference's slider ranges (dt <= 0.015, cell size ==
-  smoothing radius) a particle needs |v| > cell/dt = 600 u/s per axis to escape —
-  far beyond the max_energy colour ceiling; the cumulative ``lost`` counter
-  surfaces both cases, and ``Simulation.stats`` raises visibility to the caller.
+reference's five GPU dispatches, src/particle_compute.rs:91-195).  The default
+rebin (variant 5, ops/pallas/rebin.py) is LOSSLESS: a mover that finds no free
+slot in its destination cell, or that moved more than one cell in a frame, is
+RETAINED in its current slot and merely deferred from the force walk for the
+frame — the stream path's capacity-overflow contract (overflow particles
+exert/receive no grid forces, keep their post-gravity velocity).  ``lost``
+therefore only counts initial-binning overflow and stays constant while
+stepping; ``Simulation.stats`` still surfaces it.
 
 Identity: each slot's original particle index rides a plain-f32 ids channel
 (exact for n <= 2^24); ``to_particle_state`` restores id order for trajectory,
@@ -52,9 +50,11 @@ from .sph_step import _forces_from_cells
 class PlaneState:
     """Cell-plane particle state.  Dead slots: px/py = SENTINEL, vx/vy/idsf = 0.
 
-    ``n`` (static) is the initial particle count; ``lost`` counts particles dropped
-    so far (capacity overflow + one-cell-per-frame CFL escapes), so the live total
-    is always ``n - lost``.
+    ``n`` (static) is the initial particle count; ``lost`` counts particles
+    dropped so far, so the live total is always ``n - lost``.  Under the default
+    lossless rebin (variant 5) only the INITIAL binning can drop (capacity
+    overflow in ``plane_state_from_particles``); stepping never loses particles.
+    Legacy variants 2-4 also drop rebin overflow and >1-cell/frame escapes.
     """
 
     px: jnp.ndarray  # [gh, gw, C] f32
@@ -146,10 +146,17 @@ PlaneState.to_particle_state = to_particle_state
 
 
 def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
-                  interpret: bool | None = None, variant: int = 3):
+                  interpret: bool | None = None, variant: int = 5):
     """One live physics frame on plane state.  Returns the new PlaneState plus the
     end-of-frame planes dict for the fused renderer (same keys as
-    sph_physics_pallas's ``want_planes``)."""
+    sph_physics_pallas's ``want_planes``).
+
+    The default rebin (variant 5) is LOSSLESS: movers that find no free slot in
+    their destination cell, and >1-cell/frame movers in transit, are retained in
+    their current slot and DEFERRED — parked out of the force walk for the frame
+    (gravity + integrate + bounce only), exactly the stream path's
+    capacity-overflow contract.  ``lost`` then only counts initial-binning
+    overflow; it never grows during stepping."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     dt = params.dt
@@ -173,8 +180,32 @@ def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
     kept = jnp.sum(jnp.minimum(counts, C), dtype=jnp.int32)
     lost_now = live_before - kept
 
-    # The two Pallas force walks (density, fused pressure+viscosity).
-    nvx, nvy = _forces_from_cells(npx, npy, nvx0, nvy0, spec, params, interpret)
+    if variant == 5:
+        # Deferred slots: destination cell != resident cell (capacity-retained or
+        # in transit).  They take no pair forces this frame — sentinel-park them
+        # for the walks and pin their velocity to the post-gravity value, the
+        # same treatment the stream step gives capacity-overflow particles
+        # (ops/pallas/sph_step.py:179-182).
+        kx = jnp.clip(jnp.floor((npx - spec.x_min) / spec.cell_width)
+                      .astype(jnp.int32), 0, spec.gw - 1)
+        ky = jnp.clip(jnp.floor((npy - spec.y_min) / spec.cell_size)
+                      .astype(jnp.int32), 0, spec.gh - 1)
+        cellx = jnp.arange(spec.gw, dtype=jnp.int32)[None, :, None]
+        celly = jnp.arange(spec.gh, dtype=jnp.int32)[:, None, None]
+        nlive = npx < 0.5 * SENTINEL
+        defer = nlive & ((kx != cellx) | (ky != celly))
+        fpx = jnp.where(defer, SENTINEL, npx)
+        fpy = jnp.where(defer, SENTINEL, npy)
+        nvx, nvy = _forces_from_cells(fpx, fpy, nvx0, nvy0, spec, params,
+                                      interpret)
+        # Walk outputs at sentinel-parked slots are garbage (self-term of a
+        # zero-density slot) — restore the post-gravity velocity explicitly.
+        nvx = jnp.where(defer, nvx0, nvx)
+        nvy = jnp.where(defer, nvy0, nvy)
+    else:
+        # The two Pallas force walks (density, fused pressure+viscosity).
+        nvx, nvy = _forces_from_cells(npx, npy, nvx0, nvy0, spec, params,
+                                      interpret)
 
     live2 = npx < 0.5 * SENTINEL
     # Integrate from pred-consistent positions; bounce; re-park dead slots
@@ -201,7 +232,7 @@ def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret", "variant"))
 def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
-               interpret: bool | None = None, variant: int = 3) -> PlaneState:
+               interpret: bool | None = None, variant: int = 5) -> PlaneState:
     """Warm-up-honoring full frame on plane-resident state."""
     stepped = jax.lax.cond(
         ps.frame >= params.shader_delay,
@@ -219,7 +250,7 @@ def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
 )
 def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
                 bounds_static: tuple, interpret: bool | None = None,
-                variant: int = 3, patch_margin: int | None = None):
+                variant: int = 5, patch_margin: int | None = None):
     """Fused step + render from plane-resident state: physics AND image with ZERO
     binning work — the planes go straight into the MXU patch rasterizer."""
     from ...render.splat_planes import splat_from_planes

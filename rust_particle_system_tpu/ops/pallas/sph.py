@@ -56,8 +56,13 @@ _EPS_DIST = 1e-4  # direction guard (compute_shader.wgsl:305)
 _SENTINEL = 1.0e6  # far-away parking spot for empty slots / ghost cells
 
 
+TC_OVERRIDE = 0  # nonzero: force cells-per-tile (perf experiments; protos/time_forces.py)
+
+
 def _tile_cells(cp: int) -> int:
     """Cells per inner tile: keeps the [TC, CP, CP] pairwise tile at ~512 KB."""
+    if TC_OVERRIDE:
+        return TC_OVERRIDE
     return max(8, 1024 // cp)
 
 

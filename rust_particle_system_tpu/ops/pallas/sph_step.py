@@ -32,31 +32,45 @@ from .sph import (
 )
 
 
-def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret):
+def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret, halo=None):
     """Run the two Pallas walks on [gh, gw, C] channel planes.
 
     Returns post-force velocity planes (nvx, nvy) [gh, gw, C].  Dispatches on
     ``spec.pack2``: the classic one-cell-per-lane-row layout, or the pair-packed
     layout (two cells per 128-lane row + half-shifted B neighbor planes, 6 offsets
-    instead of 9 — see ops/pallas/sph.py)."""
+    instead of 9 — see ops/pallas/sph.py).
+
+    ``halo``: optional callable ``(plane [rows, gw, C], fill) -> (lo, hi)`` with
+    lo/hi [gw, C] — the ghost cell-rows adjacent to this slab (row below row 0 /
+    row above row rows−1).  The band-sharded step passes a ppermute closure here
+    (parallel/plane_sharded.py) so the multi-chip path runs THESE EXACT kernels;
+    None (single-chip) fills ghosts with the channel fill."""
     gh, gw, C = pxg.shape
     dt = params.dt
     vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
 
     if not spec.pack2:
         cp, tc, wt = plane_geometry(gw, C)
+
+        def grown(x, fill):
+            p = _grow_plane(_own_plane(x, gh, gw, wt, fill, cp), fill)
+            if halo is not None:
+                lo, hi = halo(x, fill)
+                p = p.at[0, 1 : gw + 1, :C].set(lo.astype(jnp.float32))
+                p = p.at[gh + 1, 1 : gw + 1, :C].set(hi.astype(jnp.float32))
+            return p
+
         pxw = _own_plane(pxg, gh, gw, wt, _SENTINEL, cp)
-        pyw = _own_plane(pyg, gh, gw, wt, _SENTINEL, cp)
         vxw = _own_plane(vxg, gh, gw, wt, 0.0, cp)
         vyw = _own_plane(vyg, gh, gw, wt, 0.0, cp)
-        ppx = _grow_plane(pxw, _SENTINEL)
-        ppy = _grow_plane(pyw, _SENTINEL)
+        ppx = grown(pxg, _SENTINEL)
+        ppy = grown(pyg, _SENTINEL)
 
         rho, rhon = density_planes(ppx, ppy, params, interpret)
         P1, NPo, NPn = pressure_terms(rho, rhon, params)
         fx, fy, fvx, fvy = force_planes(
-            ppx, ppy, _grow_plane(P1, 0.0), _grow_plane(NPn, 0.0),
-            _grow_plane(vxw, 0.0), _grow_plane(vyw, 0.0), [NPo],
+            ppx, ppy, grown(P1[:, :gw, :C], 0.0), grown(NPn[:, :gw, :C], 0.0),
+            grown(vxg, 0.0), grown(vyg, 0.0), [NPo],
             params, interpret,
         )
         nvx = vxw + fx * dt + fvx * vscale
@@ -71,12 +85,22 @@ def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret):
         return _own_plane(_pack_a(x, fill), gh, np2, wt2, fill, cp)
 
     def bplane(x, fill):
-        """B-units into halo layout: B[q] at padded column q+1."""
+        """B-units into halo layout: B[q] at padded column q+1; ghost rows from
+        the halo callback (sharded) or the fill (single-chip)."""
         b = _pack_b(x, fill)  # [gh, np2+1, 2C]
         out = jnp.full((gh + 2, wt2 + 2, cp), fill, jnp.float32)
-        return out.at[1 : gh + 1, 1 : np2 + 2, : b.shape[-1]].set(
+        out = out.at[1 : gh + 1, 1 : np2 + 2, : b.shape[-1]].set(
             b.astype(jnp.float32)
         )
+        if halo is not None:
+            lo, hi = halo(x, fill)
+            blo = _pack_b(lo[None], fill)  # [1, np2+1, 2C]
+            bhi = _pack_b(hi[None], fill)
+            out = out.at[0, 1 : np2 + 2, : blo.shape[-1]].set(
+                blo[0].astype(jnp.float32))
+            out = out.at[gh + 1, 1 : np2 + 2, : bhi.shape[-1]].set(
+                bhi[0].astype(jnp.float32))
+        return out
 
     apx = aplane(pxg, _SENTINEL)
     apy = aplane(pyg, _SENTINEL)

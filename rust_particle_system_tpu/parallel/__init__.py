@@ -10,11 +10,21 @@ from .shard import (
     state_sharding,
     unshard_state,
 )
+from .plane_sharded import (
+    check_plane_diags,
+    make_plane_sharded_frame,
+    make_plane_sharded_step,
+    shard_plane_state,
+)
 from .sharded_step import check_diags, make_sharded_step
 
 __all__ = [
     "ShardSpec",
     "check_diags",
+    "check_plane_diags",
+    "make_plane_sharded_frame",
+    "make_plane_sharded_step",
+    "shard_plane_state",
     "migration_rounds_for_speed",
     "ShardedState",
     "band_of_positions",

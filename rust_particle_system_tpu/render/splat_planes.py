@@ -149,13 +149,14 @@ def _assemble(patches, ghc, gwc, ph, pw, sy, sx, height, width, margin):
 @functools.partial(
     jax.jit,
     static_argnames=("grid_spec", "render_spec", "interpret", "bounds_static",
-                     "margin"),
+                     "margin", "resolve"),
 )
 def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
                       *, bounds_static: tuple, grid_spec: GridSpec,
                       render_spec: RenderSpec,
                       background=(0.0, 0.0, 0.0, 1.0), interpret: bool | None = None,
-                      margin: int | None = None, colors=None):
+                      margin: int | None = None, colors=None,
+                      resolve: bool = True):
     """Render from sim cell planes ([gh, gw, C] world-space pos + vel + live mask).
 
     Colours are the kinetic-energy ramp of (vx, vy), computed per slot — the same
@@ -248,4 +249,8 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
         axis=-1,
     )
     a_acc = _assemble(pa[:nc], *args)
+    if not resolve:
+        # Raw accumulators for distributed composites: sum across shards with a
+        # psum (accumulation is commutative), then splat_resolve once.
+        return rgb_acc, a_acc
     return splat_resolve(rgb_acc, a_acc, background)

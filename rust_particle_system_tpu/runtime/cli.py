@@ -103,7 +103,7 @@ def main(argv=None) -> int:
             done += k
             if video is not None:
                 video.add(np.asarray(to_srgb_u8(sim.render())))
-        jax.block_until_ready(sim.state.pos)
+        jax.block_until_ready(sim.state)
     elapsed = time.perf_counter() - t_start
     if video is not None:
         video.close()

@@ -68,7 +68,7 @@ class Session:
         self.sim.run(frames)
         import jax
 
-        jax.block_until_ready(self.sim.state.pos)
+        jax.block_until_ready(self.sim.state)
         dtms = (time.perf_counter() - t0) * 1e3
         self._print(
             f"frame {int(self.sim.state.frame)} (+{frames} in {dtms:.0f} ms)"

@@ -108,8 +108,12 @@ def run_frames_trajectory(step_fn, state, params, num_frames: int, save_every: i
             return step_fn(c, params), None
 
         new, _ = jax.lax.scan(body, carry, None, length=save_every)
-        snap = new.pos if getattr(new, "ids", None) is None \
-            else new.pos[jax.numpy.argsort(new.ids)]
+        if hasattr(new, "traj_positions"):  # plane-resident states
+            snap = new.traj_positions()
+        elif getattr(new, "ids", None) is None:
+            snap = new.pos
+        else:
+            snap = new.pos[jax.numpy.argsort(new.ids)]
         return new, snap
 
     state, traj = jax.lax.scan(chunk, state, None, length=num_frames // save_every)
@@ -191,6 +195,23 @@ class Simulation:
             camera = jnp.asarray(camera, jnp.float32)
         return self.model.render(self.state, self.params, camera=camera)
 
+    def particle_state(self):
+        """The current state as a live-rows ParticleState, whatever the backend.
+
+        Plane-resident states convert (original-id order, lost rows trimmed);
+        sorted-resident stream states are returned as-is (use
+        ``.in_original_order()`` for id-ordered rows)."""
+        state = self.state
+        if hasattr(state, "to_particle_state"):
+            full = state.to_particle_state(self.params)
+            n_live = self.n - int(state.lost)
+            return type(full)(
+                pos=full.pos[:n_live], vel=full.vel[:n_live],
+                color=full.color[:n_live], frame=full.frame,
+                ids=full.ids[:n_live],
+            )
+        return state
+
     def stats(self) -> dict:
         """Validate the current state and return summary statistics.
 
@@ -199,15 +220,29 @@ class Simulation:
         readbacks.  For grid-backed models, also reports cell occupancy and the
         CURRENT state's capacity overflow (particles beyond a cell's slot budget
         exert/receive no grid forces — a nonzero value here means the grid capacity
-        should be raised)."""
+        should be raised).  Plane-resident states additionally report ``lost`` (the
+        cumulative rebin drop counter) and RAISE if it is nonzero — losing
+        particles means the grid capacity must be raised."""
         from .debug import validate_grid, validate_state
 
-        out = validate_state(self.state, self.params)
+        lost = None
+        if hasattr(self.state, "to_particle_state"):
+            lost = int(self.state.lost)
+        pstate = self.particle_state()
+        out = validate_state(pstate, self.params)
         grid_spec = getattr(self.model, "grid", None)
         if grid_spec is not None:
             from ..ops.grid import build_grid
 
-            grid = build_grid(grid_spec, self.state.pos)
-            gstats = validate_grid(grid, grid_spec, self.n)
+            grid = build_grid(grid_spec, pstate.pos)
+            gstats = validate_grid(grid, grid_spec, pstate.pos.shape[0])
             out.update({f"grid_{k}": v for k, v in gstats.items()})
+        if lost is not None:
+            out["lost"] = lost
+            if lost:
+                raise ValueError(
+                    f"plane-resident state has dropped {lost} particles "
+                    f"(capacity overflow at rebin or >1-cell/frame escapes) — "
+                    f"raise the grid capacity or lower dt"
+                )
         return out

@@ -82,6 +82,329 @@ def _demo_planes(rng, spec, C, fill_frac, drift, k=4):
     return [jnp.asarray(c) for c in chans]
 
 
+def oracle_hole_fill_pass(flats, spec, shift, row_only, fills):
+    """Numpy mirror of one v4 pass: stayers keep slots, movers fill dest holes.
+
+    Window semantics are FLAT (cell ∓ shift in the flattened cell stream), exactly
+    as the kernel sees them — pass X's row-wrapped lanes are rejected by the full
+    dest-cell compare, never by masking."""
+    nc, C = flats[0].shape
+    gw, gh = spec.gw, spec.gh
+    cw, chh = spec.cell_width, spec.cell_size
+    k = len(flats)
+    out = [np.full((nc, C), f, np.float32) for f in fills]
+
+    def dest(x, y):
+        kx = min(max(int(np.floor((x - spec.x_min) / cw)), 0), gw - 1)
+        ky = min(max(int(np.floor((y - spec.y_min) / chh)), 0), gh - 1)
+        return kx, ky
+
+    for cell in range(nc):
+        cy, cx = divmod(cell, gw)
+        stay = np.zeros(C, bool)
+        for s in range(C):
+            x, y = flats[0][cell, s], flats[1][cell, s]
+            if x >= 0.5 * SENTINEL:
+                continue
+            kx, ky = dest(x, y)
+            stay[s] = (ky == cy) if row_only else (ky == cy and kx == cx)
+            if stay[s]:
+                for c in range(k):
+                    out[c][cell, s] = flats[c][cell, s]
+        arrivals = []
+        for src in (cell - shift, cell + shift):
+            if not (0 <= src < nc):
+                continue
+            for s in range(C):
+                x, y = flats[0][src, s], flats[1][src, s]
+                if x >= 0.5 * SENTINEL:
+                    continue
+                kx, ky = dest(x, y)
+                if (ky == cy) if row_only else (ky == cy and kx == cx):
+                    arrivals.append((src, s))
+        holes = [s for s in range(C) if not stay[s]]
+        for r, (src, s) in enumerate(arrivals):
+            if r >= len(holes):
+                break
+            for c in range(k):
+                out[c][cell, holes[r]] = flats[c][src, s]
+    return out
+
+
+def oracle_rebin_v4(planes, spec):
+    gh, gw, C = planes[0].shape
+    k = len(planes)
+    fills = [SENTINEL if c < 2 else 0.0 for c in range(k)]
+    flats = [np.asarray(p).reshape(gh * gw, C).copy() for p in planes]
+    flats = oracle_hole_fill_pass(flats, spec, gw, True, fills)
+    flats = oracle_hole_fill_pass(flats, spec, 1, False, fills)
+    counts = np.sum(np.asarray(flats[0]) < 0.5 * SENTINEL, axis=1)
+    return [f.reshape(gh, gw, C) for f in flats], counts
+
+
+@pytest.mark.parametrize("drift", [0.9, 1.8])
+def test_rebin_v4_matches_pass_oracle(rng, drift):
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=16)
+    planes = _demo_planes(rng, spec, 16, 0.5, drift)
+    want_planes, want_counts = oracle_rebin_v4(planes, spec)
+    got_planes, counts = rebin_planes(planes, spec, variant=4)
+    for c in range(len(planes)):
+        np.testing.assert_array_equal(np.asarray(got_planes[c]),
+                                      np.asarray(want_planes[c]))
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
+
+
+def test_rebin_v4_multiset_matches_v3_when_no_drops(rng):
+    """With capacity headroom, v4 must place exactly the same particles in every
+    cell as the full-window v3 — only the slot ORDER differs (v4 keeps stayers in
+    place and tolerates holes)."""
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=32)
+    planes = _demo_planes(rng, spec, 32, 0.25, 0.9)  # ~8/32 slots: no overflow
+    v3_planes, v3_counts = rebin_planes(planes, spec, variant=3)
+    v4_planes, v4_counts = rebin_planes(planes, spec, variant=4)
+    assert np.all(np.asarray(v3_counts) <= 32)
+    np.testing.assert_array_equal(np.asarray(v3_counts), np.asarray(v4_counts))
+    nc = spec.num_cells
+    a = [np.asarray(p).reshape(nc, 32) for p in v3_planes]
+    b = [np.asarray(p).reshape(nc, 32) for p in v4_planes]
+    for cell in range(nc):
+        live3 = a[0][cell] < 0.5 * SENTINEL
+        live4 = b[0][cell] < 0.5 * SENTINEL
+        m3 = sorted(map(tuple, np.stack([p[cell][live3] for p in a], -1)))
+        m4 = sorted(map(tuple, np.stack([p[cell][live4] for p in b], -1)))
+        assert m3 == m4, f"cell {cell} multiset mismatch"
+
+
+def test_rebin_v4_stayers_keep_slots(rng):
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=16)
+    planes = _demo_planes(rng, spec, 16, 0.5, 0.9)
+    got, _ = rebin_planes(planes, spec, variant=4)
+    px = np.asarray(planes[0]).reshape(-1, 16)
+    py = np.asarray(planes[1]).reshape(-1, 16)
+    npx = np.asarray(got[0]).reshape(-1, 16)
+    cw, chh = spec.cell_width, spec.cell_size
+    cellc = np.arange(spec.num_cells)[:, None]
+    kx = np.clip(np.floor((px - spec.x_min) / cw).astype(int), 0, spec.gw - 1)
+    ky = np.clip(np.floor((py - spec.y_min) / chh).astype(int), 0, spec.gh - 1)
+    stay = (px < 0.5 * SENTINEL) & (ky * spec.gw + kx == cellc)
+    np.testing.assert_array_equal(npx[stay], px[stay])
+
+
+def test_rebin_v4_conservation_with_drops(rng):
+    """Crowded grid: live_out + implied drops == live_in; no particle duplicated."""
+    spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=10.0, gw=4, gh=2, capacity=4)
+    rng_ = np.random.default_rng(3)
+    px = np.full((2, 4, 4), SENTINEL, np.float32)
+    py = np.full((2, 4, 4), SENTINEL, np.float32)
+    ids = np.zeros((2, 4, 4), np.float32)
+    nid = 0
+    for cy in range(2):
+        for cx in range(4):
+            for s in range(4):
+                px[cy, cx, s] = np.clip(
+                    cx * 10 + rng_.uniform(-8, 18), 0.1, 39.9)
+                py[cy, cx, s] = np.clip(
+                    cy * 10 + rng_.uniform(-8, 18), 0.1, 19.9)
+                ids[cy, cx, s] = float(nid)
+                nid += 1
+    planes = [jnp.asarray(px), jnp.asarray(py), jnp.asarray(ids)]
+    got, counts = rebin_planes(planes, spec, variant=4,
+                               fills=(SENTINEL, SENTINEL, -1.0))
+    live = np.asarray(got[0]) < 0.5 * SENTINEL
+    out_ids = np.asarray(got[2])[live]
+    assert len(out_ids) == int(np.asarray(counts).sum()) <= nid
+    assert len(np.unique(out_ids)) == len(out_ids)  # no duplication
+    assert np.all(out_ids >= 0)
+
+
+def oracle_hole_fill_pass_v5(flats, spec, shift, row_only, fills):
+    """Numpy mirror of one LOSSLESS (v5) pass: holes = dead slots only, clamped
+    adoption toward the source, un-adopted movers retained in place."""
+    nc, C = flats[0].shape
+    gw, gh = spec.gw, spec.gh
+    cw, chh = spec.cell_width, spec.cell_size
+    k = len(flats)
+    out = [np.full((nc, C), f, np.float32) for f in fills]
+    adopted = np.zeros((nc, C), bool)
+
+    def dest(x, y):
+        kx = min(max(int(np.floor((x - spec.x_min) / cw)), 0), gw - 1)
+        ky = min(max(int(np.floor((y - spec.y_min) / chh)), 0), gh - 1)
+        return kx, ky
+
+    def live(cell, s):
+        return flats[0][cell, s] < 0.5 * SENTINEL
+
+    for cell in range(nc):
+        cy, cx = divmod(cell, gw)
+        for s in range(C):
+            if not live(cell, s):
+                continue
+            kx, ky = dest(flats[0][cell, s], flats[1][cell, s])
+            stay = (ky == cy) if row_only else (ky != cy or kx == cx)
+            if stay:
+                for c in range(k):
+                    out[c][cell, s] = flats[c][cell, s]
+    for cell in range(nc):
+        cy, cx = divmod(cell, gw)
+        holes = [s for s in range(C) if not live(cell, s)]
+        arrivals = []
+        for gi, src in enumerate((cell - shift, cell + shift)):
+            if not (0 <= src < nc):
+                continue
+            if not row_only and (src // gw) != cy:
+                continue  # flat-shift wrap at a row edge: not a real neighbor
+            for s in range(C):
+                if not live(src, s):
+                    continue
+                kx, ky = dest(flats[0][src, s], flats[1][src, s])
+                if row_only:
+                    ok = (ky >= cy) if gi == 0 else (ky <= cy)
+                else:
+                    ok = ky == cy and ((kx >= cx) if gi == 0 else (kx <= cx))
+                if ok:
+                    arrivals.append((src, s))
+        for r, (src, s) in enumerate(arrivals):
+            if r >= len(holes):
+                break
+            for c in range(k):
+                out[c][cell, holes[r]] = flats[c][src, s]
+            adopted[src, s] = True
+    for cell in range(nc):
+        cy, cx = divmod(cell, gw)
+        for s in range(C):
+            if not live(cell, s) or adopted[cell, s]:
+                continue
+            kx, ky = dest(flats[0][cell, s], flats[1][cell, s])
+            mover = (ky != cy) if row_only else (ky == cy and kx != cx)
+            if mover:  # un-adopted mover: retained in place
+                for c in range(k):
+                    out[c][cell, s] = flats[c][cell, s]
+    return out
+
+
+def oracle_rebin_v5(planes, spec):
+    gh, gw, C = planes[0].shape
+    k = len(planes)
+    fills = [SENTINEL if c < 2 else 0.0 for c in range(k)]
+    flats = [np.asarray(p).reshape(gh * gw, C).copy() for p in planes]
+    flats = oracle_hole_fill_pass_v5(flats, spec, gw, True, fills)
+    flats = oracle_hole_fill_pass_v5(flats, spec, 1, False, fills)
+    counts = np.sum(np.asarray(flats[0]) < 0.5 * SENTINEL, axis=1)
+    return [f.reshape(gh, gw, C) for f in flats], counts
+
+
+@pytest.mark.parametrize("drift", [0.9, 1.8])
+def test_rebin_v5_matches_pass_oracle(rng, drift):
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=16)
+    planes = _demo_planes(rng, spec, 16, 0.6, drift)
+    want_planes, want_counts = oracle_rebin_v5(planes, spec)
+    got_planes, counts = rebin_planes(planes, spec, variant=5)
+    for c in range(len(planes)):
+        np.testing.assert_array_equal(np.asarray(got_planes[c]),
+                                      np.asarray(want_planes[c]))
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
+
+
+def test_rebin_v5_never_drops(rng):
+    """Severely crowded grid (many cells at full capacity): every particle must
+    survive the rebin, bit-identically, with no duplicates."""
+    spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=10.0, gw=4, gh=2, capacity=4)
+    rng_ = np.random.default_rng(3)
+    px = np.zeros((2, 4, 4), np.float32)
+    py = np.zeros((2, 4, 4), np.float32)
+    ids = np.zeros((2, 4, 4), np.float32)
+    nid = 0
+    for cy in range(2):
+        for cx in range(4):
+            for s in range(4):  # every slot full; heavy cross-cell movement
+                px[cy, cx, s] = np.clip(cx * 10 + rng_.uniform(-8, 18), 0.1, 39.9)
+                py[cy, cx, s] = np.clip(cy * 10 + rng_.uniform(-8, 18), 0.1, 19.9)
+                ids[cy, cx, s] = float(nid)
+                nid += 1
+    planes = [jnp.asarray(px), jnp.asarray(py), jnp.asarray(ids)]
+    got, counts = rebin_planes(planes, spec, variant=5,
+                               fills=(SENTINEL, SENTINEL, -1.0))
+    live = np.asarray(got[0]) < 0.5 * SENTINEL
+    out_ids = np.sort(np.asarray(got[2])[live])
+    np.testing.assert_array_equal(out_ids, np.arange(nid, dtype=np.float32))
+    assert int(np.asarray(counts).sum()) == nid
+
+
+def test_rebin_v5_fast_particle_hops_toward_destination(rng):
+    """A >1-cell/frame mover is not dropped: it hops one cell per rebin call
+    toward its destination and arrives after ceil(distance) calls."""
+    spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=10.0, gw=6, gh=1, capacity=4)
+    px = np.full((1, 6, 4), SENTINEL, np.float32)
+    py = np.full((1, 6, 4), SENTINEL, np.float32)
+    px[0, 0, 0] = 45.0  # sits in cell 0's slots, position is in cell 4
+    py[0, 0, 0] = 5.0
+    planes = [jnp.asarray(px), jnp.asarray(py)]
+    for hop in range(1, 5):
+        planes, counts = rebin_planes(planes, spec, variant=5)
+        live = np.asarray(planes[0]) < 0.5 * SENTINEL
+        assert int(live.sum()) == 1, f"particle lost at hop {hop}"
+        cell = int(np.argwhere(live.reshape(6, 4))[0][0])
+        assert cell == min(hop, 4), f"hop {hop}: resident cell {cell}"
+        planes = [jnp.asarray(p) for p in planes]
+    # Arrived: destination == resident cell, stays put on further rebins.
+    planes, _ = rebin_planes(planes, spec, variant=5)
+    live = np.asarray(planes[0]) < 0.5 * SENTINEL
+    assert int(np.argwhere(live.reshape(6, 4))[0][0]) == 4
+
+
+def test_rebin_v5_no_wrap_duplication():
+    """Regression (found by the 1M conservation bench): an in-transit particle
+    sitting in the LAST column satisfies the clamped pass-X keep test of the
+    next row's FIRST cell through the flat-shift wrap — it must not be adopted
+    there (duplication) nor dropped."""
+    spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=10.0, gw=3, gh=2, capacity=2)
+    px = np.full((2, 3, 2), SENTINEL, np.float32)
+    py = np.full((2, 3, 2), SENTINEL, np.float32)
+    ids = np.zeros((2, 3, 2), np.float32)
+    # Cell (1,2) full of stayers -> the mover below cannot be adopted in pass Y.
+    px[1, 2] = [25.0, 26.0]
+    py[1, 2] = [15.0, 16.0]
+    ids[1, 2] = [1.0, 2.0]
+    # In-transit mover: resident (0,2), destination (1,2).
+    px[0, 2, 0] = 27.0
+    py[0, 2, 0] = 17.0
+    ids[0, 2, 0] = 3.0
+    planes = [jnp.asarray(px), jnp.asarray(py), jnp.asarray(ids)]
+    got, counts = rebin_planes(planes, spec, variant=5,
+                               fills=(SENTINEL, SENTINEL, -1.0))
+    live = np.asarray(got[0]) < 0.5 * SENTINEL
+    out_ids = np.sort(np.asarray(got[2])[live])
+    np.testing.assert_array_equal(out_ids, [1.0, 2.0, 3.0])  # no dup, no loss
+    # the mover is retained at its source cell (0,2), not teleported to (1,0)
+    assert not live[1, 0].any()
+    assert live[0, 2, 0]
+
+
+def test_rebin_v5_matches_v4_when_no_overflow(rng):
+    """With capacity headroom and sub-cell drift, v4 and v5 place the same
+    particles in every cell (multisets equal; slot order may differ)."""
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=32)
+    planes = _demo_planes(rng, spec, 32, 0.25, 0.9)
+    a4, c4 = rebin_planes(planes, spec, variant=4)
+    a5, c5 = rebin_planes(planes, spec, variant=5)
+    np.testing.assert_array_equal(np.asarray(c4), np.asarray(c5))
+    nc = spec.num_cells
+    a = [np.asarray(p).reshape(nc, 32) for p in a4]
+    b = [np.asarray(p).reshape(nc, 32) for p in a5]
+    for cell in range(nc):
+        l4 = a[0][cell] < 0.5 * SENTINEL
+        l5 = b[0][cell] < 0.5 * SENTINEL
+        m4 = sorted(map(tuple, np.stack([p[cell][l4] for p in a], -1)))
+        m5 = sorted(map(tuple, np.stack([p[cell][l5] for p in b], -1)))
+        assert m4 == m5, f"cell {cell} multiset mismatch"
+
+
 @pytest.mark.parametrize("variant", [2, 3])
 @pytest.mark.parametrize("drift", [0.9, 1.8])
 def test_rebin_matches_oracle(rng, variant, drift):
@@ -163,23 +486,22 @@ def test_plane_step_warmup_freezes_state():
     np.testing.assert_array_equal(np.asarray(ps2.px), p0)
 
 
-def test_plane_step_counts_escapes():
+def test_plane_step_retains_escapes_lossless():
+    """>1-cell/frame movers are NOT dropped under the default (v5) rebin: they
+    hop one cell per frame toward their destination; lost never grows."""
     params, spec, state = _mini_setup(n=64)
     ps = plane_state_from_particles(state, spec)
-    # Launch one particle fast enough to cross > 1 cell in a frame.
+    # give every live slot a huge velocity: all would escape a 3x3 window
     fast = dataclasses.replace(
         ps,
-        vx=ps.vx.at[ps.live].set(0.0),
+        vx=jnp.where(ps.live, 3.0 * spec.cell_width / float(params.dt), 0.0),
         frame=jnp.asarray(10, jnp.int32),
     )
-    # give every live slot a huge velocity: all escape
-    fast = dataclasses.replace(
-        fast,
-        vx=jnp.where(ps.live, 3.0 * spec.cell_width / float(params.dt), 0.0),
-    )
+    live_before = int(np.asarray(ps.live).sum())
     out = plane_step(fast, params, spec)
-    # Expected escapes: live slots whose clipped destination cell is more than one
-    # cell from the source cell (edge particles clip back within reach).
+    assert int(out.lost) == int(ps.lost)  # lossless: no new drops, ever
+    assert int(np.asarray(out.live).sum()) == live_before
+    # The legacy lossy variant (4) drops exactly the escapes.
     dt = float(params.dt)
     live = np.asarray(ps.live)
     px, vx = np.asarray(fast.px), np.asarray(fast.vx)
@@ -188,9 +510,8 @@ def test_plane_step_counts_escapes():
         np.floor((predx - spec.x_min) / spec.cell_width).astype(int), 0,
         spec.gw - 1,
     )
-    src_cx = np.broadcast_to(
-        np.arange(spec.gw)[None, :, None], px.shape
-    )
+    src_cx = np.broadcast_to(np.arange(spec.gw)[None, :, None], px.shape)
     escapes = int(np.sum(live & (np.abs(kx - src_cx) > 1)))
     assert escapes > 0
-    assert int(out.lost) == escapes
+    out4 = plane_step(fast, params, spec, variant=4)
+    assert int(out4.lost) - int(ps.lost) == escapes

@@ -186,12 +186,16 @@ def test_model_render_planes_matches_oracle(rng):
     spec = RenderSpec(width=192, height=108, max_radius_px=2)
     model = SPHFluid.create(n=500, bounds=bounds, backend="pallas",
                             render_spec=spec)
-    state = model.init(jax.random.key(0), 500)
+    state = model.init(jax.random.key(0), 500)  # plane-resident by default
     params = model.default_params()._replace(particle_size=jnp.float32(1.5))
+    assert int(state.lost) == 0  # all 500 must be drawn
 
     got = np.asarray(model.render(state, params))
+    # Oracle input: the id-ordered particle view of the same state (frame 0 is
+    # inside warm-up, so to_particle_state colours white like scatter init).
+    pview = state.to_particle_state(params)
     want = np.asarray(
-        splat_oracle(state.pos, state.color, params.particle_size,
+        splat_oracle(pview.pos, pview.color, params.particle_size,
                      jnp.asarray(bounds, jnp.float32), spec)
     )
     np.testing.assert_allclose(got, want, atol=2e-4)

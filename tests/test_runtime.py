@@ -224,8 +224,8 @@ def test_trajectory_restores_original_order_for_resident_states():
     model = SPHFluid.create(n=96, bounds=(-96.0, 96.0, -54.0, 54.0), capacity=16,
                             backend="pallas")
     params = model.default_params()._replace(shader_delay=jnp.int32(0))
-    state = model.init(jax.random.key(0), 96)
-    assert state.ids is not None
+    state = model.init(jax.random.key(0), 96)  # plane-resident (idsf channel)
+    assert int(state.lost) == 0
 
     sr, traj = run_frames_trajectory(model.step, state, params, 4)
     # oracle: step a copy frame by frame, restoring order at each snapshot
@@ -233,7 +233,7 @@ def test_trajectory_restores_original_order_for_resident_states():
     step = jax.jit(model.step)
     for f in range(4):
         s = step(s, params)
-        want = np.asarray(s.pos)[np.argsort(np.asarray(s.ids))]
+        want = np.asarray(s.traj_positions())
         np.testing.assert_allclose(np.asarray(traj[f]), want, rtol=1e-6, atol=1e-6)
 
 
