@@ -20,7 +20,10 @@ from rust_particle_system_tpu.runtime.timing import hsync
 TC = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 pack2 = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
 C = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+FRAC = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0  # occupancy override
 sphmod.TC_OVERRIDE = TC
+sphmod.CHUNK_OVERRIDE = CHUNK
 
 BOUNDS = (-960.0, 960.0, -540.0, 540.0)
 spec = GridSpec.from_bounds(BOUNDS, 9.0, capacity=C, pack2=pack2)
@@ -33,7 +36,15 @@ base_x = jax.random.uniform(kx, (gh, gw, C), minval=0.0, maxval=9.0)
 base_y = jax.random.uniform(ky, (gh, gw, C), minval=0.0, maxval=9.0)
 ox = BOUNDS[0] + jnp.arange(gw)[None, :, None] * spec.cell_width
 oy = BOUNDS[2] + jnp.arange(gh)[:, None, None] * spec.cell_size
-live = jax.random.uniform(jax.random.key(2), (gh, gw, C)) < frac
+if FRAC > 0.0:
+    # settle-like occupancy: the same 1M particles packed into the bottom FRAC
+    # of rows (pool), the rest air — exercises the empty-chunk gating.
+    rows_pool = max(1, int(gh * FRAC))
+    frac_pool = min(1_000_000 / (rows_pool * gw * C), 1.0)
+    in_pool = (jnp.arange(gh) >= gh - rows_pool)[:, None, None]
+    live = (jax.random.uniform(jax.random.key(2), (gh, gw, C)) < frac_pool) & in_pool
+else:
+    live = jax.random.uniform(jax.random.key(2), (gh, gw, C)) < frac
 px = jnp.where(live, base_x + ox, SENTINEL)
 py = jnp.where(live, base_y + oy, SENTINEL)
 vx = jnp.where(live, jax.random.normal(jax.random.key(5), (gh, gw, C)), 0.0)

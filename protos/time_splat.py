@@ -35,12 +35,13 @@ from rust_particle_system_tpu.core.state import make_state
 from rust_particle_system_tpu.ops.grid import GridSpec
 from rust_particle_system_tpu.ops.pallas.resident import plane_state_from_particles
 from rust_particle_system_tpu.render import RenderSpec
-from rust_particle_system_tpu.render.splat_planes import (
+from rust_particle_system_tpu.render.splat_planes import (  # noqa: F401
     _FAR,
-    _assemble,
     _round_up,
     splat_from_planes,
 )
+# NOTE: written against the round-2 splat (K=4 quadratic-form + XLA assembly);
+# superseded by time_splat3.py after the round-3 rowstrip redesign.
 from rust_particle_system_tpu.runtime.timing import hsync
 
 C = int(sys.argv[1]) if len(sys.argv) > 1 else 64

@@ -286,10 +286,12 @@ def render_plane_state(ps: PlaneState, params: SimParams, spec: GridSpec,
     """Standalone render of plane-resident state — NO binning at all.
 
     Positions drifted at most one integration from their binned cell, so the
-    default 4 px patch margin covers sprite radius + drift (the same contract as
-    the fused frame).  Warm-up states draw white, matching the stream path.
+    patch margin covers sprite radius + 1 px of drift (the same contract as the
+    fused frame; radius-2 sprites stay on the fast 16-lane-row patch layout —
+    see render/splat_planes.py).  Warm-up states draw white, matching the
+    stream path.
     """
-    from ...render.splat_planes import splat_from_planes
+    from ...render.splat_planes import MARGIN, splat_from_planes
 
     live = ps.live
     colored = K.energy_color(
@@ -301,6 +303,7 @@ def render_plane_state(ps: PlaneState, params: SimParams, spec: GridSpec,
         ps.px, ps.py, ps.vx, ps.vy, live,
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
-        interpret=interpret, margin=4,
+        interpret=interpret,
+        margin=min(MARGIN, render_spec.max_radius_px + 1),
         colors=(rgb[..., 0], rgb[..., 1], rgb[..., 2]),
     )

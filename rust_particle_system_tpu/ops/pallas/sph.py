@@ -89,6 +89,23 @@ def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
     return best
 
 
+CHUNK_OVERRIDE = 0  # nonzero: force the own-slot chunk width (perf experiments)
+
+
+def _own_chunk(cp: int) -> int:
+    """Own-slot chunk width for occupancy gating (0 disables chunking).
+
+    Each tile's own slots are processed in static lane-chunks of this width, and a
+    chunk whose slots are ALL empty skips its 9-offset pairwise work entirely
+    (``pl.when`` on an in-kernel occupancy reduction — no host plumbing).  Empty
+    cells (settled states are mostly air) cost ~6 VPU ops instead of the full
+    pairwise tile; dense chunks pay ~4 extra scalar reductions per tile.  32 keeps
+    the when-block count (CP/32 x 9 offsets) compile-friendly."""
+    if CHUNK_OVERRIDE:
+        return CHUNK_OVERRIDE
+    return 32
+
+
 def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                      n_out: int, tc: int, seg: int, finalize=None, n_dx: int = 3):
     """Build a kernel: one (grid row, column segment) per program.
@@ -107,7 +124,9 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
     ``pair_update(scal, own, nbrs, accs) -> accs`` folds one (tile, offset) pairwise
     block into the accumulators:
 
-    * ``own``:  per-channel own-cell values (halo channels then own-only), [TC, CP]
+    * ``own``:  per-channel own-cell values (halo channels then own-only), [TC, CH]
+      (an own-slot lane chunk — see :func:`_own_chunk`; pair bodies only ever
+      broadcast own values to the sublane dim, so the chunk width is transparent)
     * ``nbrs``: per-halo-channel neighbor values for this offset, each [TC, CP]
 
     ``finalize(scal, own, accs) -> outs`` maps accumulators to the ``n_out`` outputs
@@ -121,7 +140,7 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
 
         def tile_body(t, _):
             c0 = t * tc
-            own = (
+            own_full = (
                 tuple(
                     ins[ch * 3 + 1][0, 0, pl.ds(c0 + 1, tc), :]
                     for ch in range(n_channels)
@@ -129,22 +148,52 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                 if n_dx == 3
                 else ()
             ) + tuple(own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own))
-            accs = tuple(
-                jnp.zeros((tc, own[0].shape[-1]), jnp.float32) for _ in range(n_acc)
-            )
-            # n_dx=3: dx in {0,1,2} = cells c-1,c,c+1.  n_dx=2 (pair-packed): the
-            # halo planes are B-units (cells 2p-1,2p at padded index p+1), so own
-            # pair p reads B[p], B[p+1] at window offsets {1, 2}.
-            for dy in range(3):
-                for dx in range(3 - n_dx, 3):
-                    nbrs = tuple(
-                        ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
-                        for ch in range(n_channels)
-                    )
-                    accs = pair_update(scal_ref, own, nbrs, accs)
-            res = finalize(scal_ref, own, accs) if finalize is not None else accs
-            for o, r in zip(outs, res):
-                o[0, 0, pl.ds(c0, tc), :] = r
+            cp_own = own_full[0].shape[-1]
+            ch_w = _own_chunk(cp_own)
+            if ch_w >= cp_own or cp_own % ch_w:
+                chunks = [slice(0, cp_own)]
+            else:
+                chunks = [slice(k * ch_w, (k + 1) * ch_w)
+                          for k in range(cp_own // ch_w)]
+            # Own x-position channel (occupancy source): halo center slab channel 0
+            # (classic) or own-only channel 0 (pair-packed) — both are own_full[0].
+            own_live = jnp.where(own_full[0] < 0.5 * _SENTINEL, 1.0, 0.0)
+
+            def chunk_work(sl):
+                own = tuple(o[:, sl] for o in own_full)
+                accs = tuple(
+                    jnp.zeros((tc, own[0].shape[-1]), jnp.float32)
+                    for _ in range(n_acc)
+                )
+                # n_dx=3: dx in {0,1,2} = cells c-1,c,c+1.  n_dx=2 (pair-packed):
+                # the halo planes are B-units (cells 2p-1,2p at padded index p+1),
+                # so own pair p reads B[p], B[p+1] at window offsets {1, 2}.
+                for dy in range(3):
+                    for dx in range(3 - n_dx, 3):
+                        nbrs = tuple(
+                            ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
+                            for ch in range(n_channels)
+                        )
+                        accs = pair_update(scal_ref, own, nbrs, accs)
+                res = finalize(scal_ref, own, accs) if finalize else accs
+                for o, r in zip(outs, res):
+                    o[0, 0, pl.ds(c0, tc), sl] = r
+
+            if len(chunks) == 1:
+                chunk_work(chunks[0])
+            else:
+                for sl in chunks:
+                    any_live = jnp.max(own_live[:, sl]) > 0.5
+
+                    @pl.when(any_live)
+                    def _(sl=sl):
+                        chunk_work(sl)
+
+                    @pl.when(jnp.logical_not(any_live))
+                    def _(sl=sl):
+                        zero = jnp.zeros((tc, ch_w), jnp.float32)
+                        for o in outs:
+                            o[0, 0, pl.ds(c0, tc), sl] = zero
             return 0
 
         # fori_loop beats static unrolling here (measured: unroll was ~8% slower

@@ -1,18 +1,38 @@
-"""Fused-frame renderer: patch-splat straight from the simulation's cell planes.
+"""Fused-frame renderer: row-strip patch-splat straight from the simulation's cell
+planes.
 
 The standalone rasterizer (``splat_pallas.py``) re-bins particles into its own pixel
 grid — a sort plus wide gathers that cost tens of ms at 1M particles.  But the SPH step
 already HAS the particles in cell-dense planes; this renderer consumes those planes
 directly (positions + velocity -> colours computed elementwise in plane space), so the
-marginal render cost is just the splat kernel + patch reassembly, no binning at all.
+marginal render cost is just the splat kernel, no binning at all.
 
-Generalizes the 8px patch kernel to the sim grid's anisotropic cell strides: each cell
-(cell_w x cell_h world units = sx*cell_w x sy*cell_h pixels) splats into a patch of
-(stride + 2*margin) pixels per side; patches overlap neighbors by one stride and the
-image reassembles with the same 2x2 quadrant shifted-add.
+Round-3 redesign (measured on-chip, protos/time_splat[23].py):
 
-Requires pixel strides >= 2*margin (quadrant split) and sprite radius <= margin;
-the wrapper asserts both statically.
+* **VPU pair distances.**  Round 2 computed the patch distances as a K=4
+  quadratic-form matmul "for the MXU" — but K=4 uses 4/128 of the systolic array,
+  and it measured ~7 of the 9 ms kernel.  ``(qx-lx)^2 + (qy-ly)^2`` as plain
+  broadcast (sublane x lane) VPU ops is ~3x faster.
+* **lane-aligned patch layout.**  Patch pixel (i, j) rides lane ``i*ROWPAD + j``
+  (ROWPAD = 16 when the patch is <= 16 px wide, else 32), so each patch row is an
+  aligned lane slice; dead lanes park at -FAR.
+* **In-kernel row-strip assembly.**  Round 2 emitted per-cell patches and
+  reassembled them in XLA — measured at ~48 ms of lane-hostile relayouts (the
+  384->289 depad, the (17,17) lane split, the cell<->row transpose), 5x the kernel
+  itself.  Here each program (one cell row) places its cells' patches INTO a row
+  strip inside the kernel via two one-hot matmuls (cells -> strip lanes; x-overlap
+  seams accumulate by read-modify-write between sub-tiles), and the XLA side folds
+  only the y-overlap: two statically-shifted adds.  No relayouts anywhere.
+* **Occupancy gating.**  A sub-tile (16 cells) whose slots are all empty skips its
+  pair math and placement entirely (``pl.when`` on an in-kernel reduction) — in
+  settled states most of the domain is air.
+* This path is also a CORRECTNESS fix: the round-2 XLA assembly dropped sprite
+  mass in the leftmost ``stride - margin`` image columns at the sim-grid geometry
+  (found measuring against the scatter-add oracle at 1M; the new path matches the
+  oracle to 4e-6).
+
+Requires pixel strides >= 2*margin (y-overlap limited to adjacent cell rows),
+patch width <= 32, and sprite radius <= margin; the wrapper asserts all statically.
 """
 
 from __future__ import annotations
@@ -21,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -30,7 +51,7 @@ from .splat_jax import RenderSpec, splat_resolve
 
 MARGIN = 4
 _FAR = 1.0e6
-_TC = 8  # cell rows per program
+_TCS = 16  # cells per in-kernel sub-tile (placement matmul granularity)
 
 
 def _round_up(x, m):
@@ -39,9 +60,10 @@ def _round_up(x, m):
 
 def planes_compatible(grid_spec, render_spec, bounds, margin: int) -> bool:
     """True iff the plane rasterizer's static preconditions hold for this geometry:
-    integral pixel strides, stride >= 2*margin (quadrant reassembly), and sprite
-    radius <= margin.  Callers with other geometry (non-1:1 world-to-pixel scale,
-    max_radius_px > MARGIN) must fall back to the general splat."""
+    integral pixel strides, stride >= 2*margin (adjacent-row y-overlap only),
+    patch width <= 32 lanes, and sprite radius <= margin.  Callers with other
+    geometry (non-1:1 world-to-pixel scale, very wide sprites) must fall back to
+    the general splat."""
     x_min, x_max, y_min, y_max = (float(b) for b in bounds)
     sx_scale = render_spec.width / (x_max - x_min)
     sy_scale = render_spec.height / (y_max - y_min)
@@ -51,99 +73,95 @@ def planes_compatible(grid_spec, render_spec, bounds, margin: int) -> bool:
         return False
     if min(round(sx_px), round(sy_px)) < 2 * margin:
         return False
+    if round(sx_px) + 2 * margin > 32:
+        return False
     return render_spec.max_radius_px <= margin
 
 
-def _make_kernel(ph: int, pw: int, lanes: int, sy_px: int, sx_px: int, gw: int,
-                 height: int, margin: int):
-    """Kernel over [TC cells, cap] planes -> [TC, lanes] patches (lanes >= ph*pw).
+def _placement_consts(tcs, rowpad, lanes, sx_px, pw):
+    """One-hot matrices for the in-kernel cells->strip placement.
 
-    Cell rows index bottom-up in world space while pixel rows run top-down, so cell
-    cy's patch sits at pixel row ``height - (cy+1)*sy_px - margin``.
-
-    MXU formulation: all coordinates are PATCH-LOCAL (<= ph px — local coords keep
-    the quadratic-form expansion exact in f32; in global pixel coords the
-    |p|^2 + |q|^2 - 2pq cancellation would lose ~6 digits).  The pair distances
-    arrive as one batched [TC, C, 4] x [TC, 4, lanes] matmul per program and the
-    four channel accumulations as one [TC, 4, C] x [TC, C, lanes] matmul, leaving
-    only the ~10-op sprite-profile chain on the VPU.
+    E1[t, k] spreads sub-tile cell t to its K-lane group; mj[l, k] selects the
+    patch column j = k % rowpad from patch lane l; P[k, x] places (t, j) at strip
+    column t*sx_px + j (x-overlapping columns of adjacent cells simply both map —
+    the matmul accumulates them).
     """
+    K = tcs * rowpad
+    E1 = np.zeros((tcs, K), np.float32)
+    for t in range(tcs):
+        E1[t, t * rowpad : (t + 1) * rowpad] = 1.0
+    mj = np.zeros((lanes, K), np.float32)
+    for l in range(lanes):
+        for k in range(l % rowpad, K, rowpad):
+            mj[l, k] = 1.0
+    span = tcs * sx_px + pw - sx_px
+    span_pad = _round_up(span, 128)
+    P = np.zeros((K, span_pad), np.float32)
+    for k in range(K):
+        j = k % rowpad
+        if j < pw:
+            P[k, (k // rowpad) * sx_px + j] = 1.0
+    return jnp.asarray(E1), jnp.asarray(mj), jnp.asarray(P), K, span_pad
 
-    def kernel(scal_ref, apix_ref, px_ref, py_ref, r_ref, g_ref, b_ref,
-               pr_ref, pg_ref, pb_ref, pa_ref):
+
+def _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
+                       sx_px, sy_px, margin, height, WP, PH_PAD):
+    nsub = wt // tcs
+    HI = jax.lax.Precision.HIGHEST
+
+    def kernel(scal_ref, apix_ref, e1_ref, mj_ref, p_ref,
+               px_ref, py_ref, r_ref, g_ref, b_ref, q_ref):
         radius = scal_ref[0]
-        t = pl.program_id(0)
+        inv_w = scal_ref[1]  # 1 / (radius - 0.8*radius), eps-guarded
+        rr = jnp.float32(gh - 1) - jnp.float32(pl.program_id(0))
+        origin_y = height - (rr + 1.0) * sy_px - margin
+        q_ref[...] = jnp.zeros((4, 1, PH_PAD, WP), jnp.float32)
+        # Static unroll: the seam RMW needs static lane offsets (dynamic lane-dim
+        # slices are restricted in Mosaic).
+        for t in range(nsub):
+            sl = slice(t * tcs, (t + 1) * tcs)
+            pxs = px_ref[0, sl, :]                                  # [tcs, C]
+            any_live = jnp.max(jnp.where(pxs < 0.5 * _FAR, 1.0, 0.0)) > 0.5
 
-        cell = (t * _TC + jax.lax.broadcasted_iota(jnp.int32, (_TC, 1), 0)).astype(
-            jnp.float32
-        )
-        cy = jnp.floor(cell / gw)
-        cx = cell - cy * gw
-        origin_x = cx * sx_px - margin  # [TC, 1]
-        origin_y = height - (cy + 1.0) * sy_px - margin
-
-        # Patch-local slot coordinates; sentinel slots (1e6) stay far away.
-        qx = px_ref[:] - origin_x  # [TC, C]
-        qy = py_ref[:] - origin_y
-
-        # d^2 = (qx^2 + qy^2) - 2 qx lx - 2 qy ly + (lx^2 + ly^2) as a K=4 matmul:
-        # B [TC, C, 4] = (-2qx, -2qy, qx^2+qy^2, 1);  A [4, lanes] precomputed
-        # = (lx, ly, 1, lx^2+ly^2) with dead lanes parked at -FAR.
-        bmat = jnp.stack(
-            [-2.0 * qx, -2.0 * qy, qx * qx + qy * qy, jnp.ones_like(qx)], axis=-1
-        )
-        amat = jnp.broadcast_to(apix_ref[:][None], (_TC, 4, lanes))
-        d2 = jax.lax.dot_general(
-            bmat, amat, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TC, C, lanes]
-        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-
-        edge0 = 0.8 * radius
-        tt = jnp.clip((dist - edge0) / jnp.maximum(radius - edge0, 1e-6), 0.0, 1.0)
-        alpha = 1.0 - tt * tt * (3.0 - 2.0 * tt)
-        alpha = jnp.where(alpha < 0.01, 0.0, alpha)
-
-        # Channel accumulation on the MXU: [TC, 4, C] x [TC, C, lanes]
-        # (measured: ~1.3 ms/frame faster than four VPU mul+sum reductions).
-        cols = jnp.stack(
-            [r_ref[:], g_ref[:], b_ref[:], jnp.ones_like(r_ref[:])], axis=1
-        )  # [TC, 4, C]
-        acc = jax.lax.dot_general(
-            cols, alpha, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TC, 4, lanes]
-        pr_ref[:] = acc[:, 0, :]
-        pg_ref[:] = acc[:, 1, :]
-        pb_ref[:] = acc[:, 2, :]
-        pa_ref[:] = acc[:, 3, :]
+            @pl.when(any_live)
+            def _(t=t, sl=sl, pxs=pxs):
+                cellx = (t * tcs
+                         + jax.lax.broadcasted_iota(jnp.int32, (tcs, 1), 0)
+                         ).astype(jnp.float32)
+                qx = pxs - (cellx * sx_px - margin)
+                qy = py_ref[0, sl, :] - origin_y
+                cols = jnp.stack(
+                    [r_ref[0, sl, :], g_ref[0, sl, :], b_ref[0, sl, :],
+                     jnp.ones((tcs, C), jnp.float32)], axis=1)      # [tcs,4,C]
+                dx = qx[:, :, None] - apix_ref[0][None, None, :]
+                dy = qy[:, :, None] - apix_ref[1][None, None, :]
+                dist = jnp.sqrt(dx * dx + dy * dy)                  # [tcs,C,LN]
+                tt = jnp.clip((dist - 0.8 * radius) * inv_w, 0.0, 1.0)
+                alpha = 1.0 - tt * tt * (3.0 - 2.0 * tt)
+                alpha = jnp.where(alpha < 0.01, 0.0, alpha)  # discard rule
+                acc = jax.lax.dot_general(
+                    cols, alpha, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=HI)
+                # cells -> K lanes (one-hot over t), keep (i, j) patch rows
+                y = jax.lax.dot_general(
+                    acc, e1_ref[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI)
+                z = (y * mj_ref[...][None]).reshape(
+                    4, lanes // rowpad, rowpad, K)
+                zi = jnp.sum(z, axis=2)                             # [4,ph',K]
+                r0 = zi.shape[1]
+                if r0 < PH_PAD:
+                    zi = jnp.concatenate(
+                        [zi, jnp.zeros((4, PH_PAD - r0, K), jnp.float32)],
+                        axis=1)
+                strip = jax.lax.dot_general(
+                    zi[:, :PH_PAD, :], p_ref[...], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI)
+                x0 = t * tcs * sx_px
+                cur = q_ref[:, 0, :, x0 : x0 + span_pad]
+                q_ref[:, 0, :, x0 : x0 + span_pad] = cur + strip
 
     return kernel
-
-
-def _assemble(patches, ghc, gwc, ph, pw, sy, sx, height, width, margin):
-    """[nc, lanes>=ph*pw] patches -> [H, W] accumulator via 2x2 quadrant adds.
-
-    Cell row cy's patch starts at pixel row ``height - (cy+1)*sy - margin``; flipping
-    the cell-row axis makes origins monotonically increasing, with a constant shift
-    ``off = ghc*sy - height`` absorbed by the final crop.
-    """
-    p = patches[:, : ph * pw].reshape(ghc, gwc, ph, pw)[::-1]  # flip cell rows
-    canvas = jnp.zeros((ghc + 1, gwc + 1, sy, sx), patches.dtype)
-    for qy in range(2):
-        for qx in range(2):
-            quad = p[:, :, qy * sy : min((qy + 1) * sy, ph),
-                     qx * sx : min((qx + 1) * sx, pw)]
-            hh, ww = quad.shape[2], quad.shape[3]
-            if hh == 0 or ww == 0:
-                continue
-            quad = jnp.pad(quad, ((0, 0), (0, 0), (0, sy - hh), (0, sx - ww)))
-            canvas = canvas.at[qy : qy + ghc, qx : qx + gwc].add(quad)
-    img = canvas.transpose(0, 2, 1, 3).reshape((ghc + 1) * sy, (gwc + 1) * sx)
-    off = ghc * sy - height  # >= 0: world rows extend above the viewport top
-    return img[margin + off : margin + off + height, margin : margin + width]
 
 
 @functools.partial(
@@ -163,13 +181,15 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     per-particle colour the step writes into state (compute_shader.wgsl:101-118) —
     unless ``colors`` (an (r, g, b) tuple of [gh, gw, C] planes) supplies them
     directly (the standalone render path, which must draw state.color as-is).
-    Returns an [H, W, 4] image.  Requires the world->pixel scale to make pixel strides
-    integral (true for the default 1 unit = 1 px mapping).
+    Returns an [H, W, 4] image (or the raw ``(rgb_acc, a_acc)`` accumulators when
+    ``resolve=False`` — additive, for distributed psum composites).
 
     ``margin`` (static) bounds sprite-center drift outside the binning cell PLUS the
     sprite radius; callers whose planes are exact (no post-binning movement) can pass
     ``render_spec.max_radius_px`` to shrink the patch; the fused frame needs one
     extra pixel of drift slack (ops/pallas/sph_step.py).  Defaults to MARGIN (4).
+    Patches <= 16 px wide ride the fast 16-lane row layout; wider ones fall back
+    to 32-lane rows (2x the pair lanes — prefer margins that keep stride+2m <= 16).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -188,9 +208,14 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     assert min(sx_px, sy_px) >= 2 * margin, "pixel stride must be >= 2*margin"
     assert rs.max_radius_px <= margin
 
+    H, W = rs.height, rs.width
     ph = sy_px + 2 * margin
     pw = sx_px + 2 * margin
-    lanes = _round_up(ph * pw, 128)
+    assert pw <= 32, "patch width > 32 lanes; use the general splat"
+    rowpad = 16 if pw <= 16 else 32
+    lanes = _round_up(ph * rowpad, 128)
+    off = gh * sy_px - H  # world rows extend above the viewport top
+    assert off >= 0
 
     # world -> pixel in plane space (elementwise); dead slots park far away
     ppx = jnp.where(live, (px - x_min) * sx_scale, _FAR)
@@ -205,50 +230,74 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     gcol = jnp.where(live, rgb[1], 0.0)
     b = jnp.where(live, rgb[2], 0.0)
 
-    nc = gh * gw
-    nc_pad = _round_up(nc, _TC)
+    tcs = _TCS
+    wt = _round_up(gw, tcs)
+    nsub = wt // tcs
 
-    def flat(a, fill):
-        a = a.reshape(nc, C)
-        if nc_pad > nc:
-            a = jnp.concatenate([a, jnp.full((nc_pad - nc, C), fill, a.dtype)])
-        return a
+    def plane(a, fill):
+        if wt == gw:
+            return a
+        padc = jnp.full((gh, wt - gw, C), fill, jnp.float32)
+        return jnp.concatenate([a, padc], axis=1)
 
-    planes = [flat(ppx, _FAR), flat(ppy, _FAR), flat(r, 0.0), flat(gcol, 0.0),
-              flat(b, 0.0)]
+    planes = [plane(ppx, _FAR), plane(ppy, _FAR), plane(r, 0.0),
+              plane(gcol, 0.0), plane(b, 0.0)]
+
     radius_px = particle_size * sx_scale
-    scal = jnp.stack([radius_px]).astype(jnp.float32)
+    inv_w = 1.0 / jnp.maximum(radius_px - 0.8 * radius_px, 1e-6)
+    scal = jnp.stack([radius_px, inv_w]).astype(jnp.float32)
 
-    # Precomputed pixel matrix A [4, lanes]: patch-local (lx, ly, 1, lx^2+ly^2),
-    # dead lanes (beyond ph*pw) parked at -FAR so every pair distance is huge.
-    pidx = jnp.arange(lanes, dtype=jnp.float32)
-    prow = jnp.floor(pidx / pw)
-    pcol = pidx - prow * pw
-    dead = pidx >= ph * pw
-    lx = jnp.where(dead, -_FAR, pcol + 0.5)
-    ly = jnp.where(dead, -_FAR, prow + 0.5)
-    apix = jnp.stack([lx, ly, jnp.ones_like(lx), lx * lx + ly * ly])
+    # patch pixel (i, j) on lane i*rowpad + j; dead lanes parked at -FAR
+    lidx = np.arange(lanes)
+    li, lj = lidx // rowpad, lidx % rowpad
+    ldead = (li >= ph) | (lj >= pw)
+    apix = jnp.asarray(
+        np.stack([np.where(ldead, -_FAR, lj + 0.5),
+                  np.where(ldead, -_FAR, li + 0.5)]), jnp.float32)
 
-    kernel = _make_kernel(ph, pw, lanes, sy_px, sx_px, gw, rs.height, margin)
-    block = pl.BlockSpec((_TC, C), lambda t: (t, 0))
-    out_block = pl.BlockSpec((_TC, lanes), lambda t: (t, 0))
-    pr, pg, pb, pa = pl.pallas_call(
+    E1, mj, P, K, span_pad = _placement_consts(tcs, rowpad, lanes, sx_px, pw)
+    WP = _round_up((nsub - 1) * tcs * sx_px + span_pad, 128)
+    PH_PAD = _round_up(ph, 8)
+
+    kernel = _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
+                                sx_px, sy_px, margin, H, WP, PH_PAD)
+    in_block = pl.BlockSpec((1, wt, C), lambda rr: (gh - 1 - rr, 0, 0))
+    q = pl.pallas_call(
         kernel,
-        grid=(nc_pad // _TC,),
+        grid=(gh,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((4, lanes), lambda t: (0, 0))] + [block] * 5,
-        out_specs=tuple([out_block] * 4),
-        out_shape=tuple([jax.ShapeDtypeStruct((nc_pad, lanes), jnp.float32)] * 4),
+                  pl.BlockSpec((2, lanes), lambda rr: (0, 0)),
+                  pl.BlockSpec((tcs, K), lambda rr: (0, 0)),
+                  pl.BlockSpec((lanes, K), lambda rr: (0, 0)),
+                  pl.BlockSpec((K, span_pad), lambda rr: (0, 0))]
+        + [in_block] * 5,
+        out_specs=pl.BlockSpec((4, 1, PH_PAD, WP), lambda rr: (0, rr, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, gh, PH_PAD, WP), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, apix, *planes)
+    )(scal, apix, E1, mj, P, *planes)
 
-    args = (gh, gw, ph, pw, sy_px, sx_px, rs.height, rs.width, margin)
-    rgb_acc = jnp.stack(
-        [_assemble(pr[:nc], *args), _assemble(pg[:nc], *args),
-         _assemble(pb[:nc], *args)],
-        axis=-1,
-    )
-    a_acc = _assemble(pa[:nc], *args)
+    # y-overlap fold: strip row R' patch row i lands at image row
+    # R'*sy_px + i - margin - off.  Two statically-shifted adds.
+    img = jnp.zeros((4, H, W), jnp.float32)
+    a_part = q[:, :, :sy_px, :].reshape(4, gh * sy_px, WP)
+    sa = -margin - off
+    y0, y1 = max(0, sa), min(H, gh * sy_px + sa)
+    img = img.at[:, y0:y1, :].add(
+        a_part[:, y0 - sa : y1 - sa, margin : margin + W])
+    nb = ph - sy_px  # = 2*margin <= sy_px
+    b_part = q[:, :, sy_px:ph, :]
+    b_part = jnp.concatenate(
+        [b_part, jnp.zeros((4, gh, sy_px - nb, WP), jnp.float32)], axis=2)
+    b_part = b_part.reshape(4, gh * sy_px, WP)
+    sb = sy_px - margin - off
+    y0, y1 = max(0, sb), min(H, gh * sy_px + sb)
+    img = img.at[:, y0:y1, :].add(
+        b_part[:, y0 - sb : y1 - sb, margin : margin + W])
+
+    rgb_acc = jnp.moveaxis(img[:3], 0, -1)
+    a_acc = img[3]
     if not resolve:
         # Raw accumulators for distributed composites: sum across shards with a
         # psum (accumulation is commutative), then splat_resolve once.
