@@ -272,6 +272,27 @@ def main() -> None:
     hsync((fps2.px, img))
     p50_frame_ms = (time.perf_counter() - t0) / 11 * 1e3
 
+    # Same, with the opt-in tight patch (margin = radius + 1 px drift slack):
+    # keeps radius-2 sprites on the 16-lane-row fast path of the row-strip
+    # rasterizer; the default margin-4 patch is 17 px wide at the sim grid's
+    # 9 px stride and falls to 32-lane rows (see render/splat_planes.py).
+    fused3 = jax.jit(
+        lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS,
+                              patch_margin=rspec.max_radius_px + 1),
+        donate_argnums=0,
+    )
+    _progress("fused (tight patch)...")
+    fps3 = plane_state_from_particles(
+        uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec)
+    fps3, img = fused3(fps3)
+    fps3, img = fused3(fps3)
+    hsync(img)
+    t0 = time.perf_counter()
+    for _ in range(11):
+        fps3, img = fused3(fps3)
+    hsync((fps3.px, img))
+    fused_margin3_ms = (time.perf_counter() - t0) / 11 * 1e3
+
     # Secondary: 1080p point-splat of 1M sprites from the PRODUCTION state — the
     # plane-resident render needs NO binning (the planes feed the MXU patch
     # rasterizer directly).  In-jit x4 over distinct states, checksum output.
@@ -347,6 +368,7 @@ def main() -> None:
                 "settled_steps_per_sec_c128": round(N / settled_ms * 1e3),
                 "settled_lost_c128": lost128,
                 "fused_frame_ms": round(p50_frame_ms, 2),
+                "fused_frame_tight_patch_ms": round(fused_margin3_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
                 "splat_1080p_raw_ms": round(render_raw_ms, 3),

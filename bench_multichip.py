@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force a virtual CPU mesh (testing without a pod)")
+    ap.add_argument("--pipeline", choices=["plane", "stream"], default="plane",
+                    help="plane = the PRODUCTION plane-resident pipeline "
+                         "(lossless rebin as migration, fused psum composite); "
+                         "stream = the round-1 sort+migrate step")
     ap.add_argument("--render", default=None, help="write final distributed frame PNG")
     args = ap.parse_args()
 
@@ -59,14 +63,17 @@ def main() -> None:
     )
     from rust_particle_system_tpu.render import RenderSpec
 
-    # constant-density domain scaling around the 1M design point
+    # constant-density domain scaling around the 1M design point, snapped to
+    # whole 9-unit cells so the distributed fused render's 1-unit-per-pixel
+    # mapping keeps integral pixel strides (render/splat_planes.py precondition)
     scale = math.sqrt(args.n / 1_000_000)
-    bounds = (-960.0 * scale, 960.0 * scale, -540.0 * scale, 540.0 * scale)
+    xh = max(27.0, round(960.0 * scale / 9.0) * 9.0)
+    yh = max(27.0, round(540.0 * scale / 9.0) * 9.0)
+    bounds = (-xh, xh, -yh, yh)
     params = rps.make_params(bounds=bounds, gravity=300.0, shader_delay=0)
     sspec = make_shard_spec(bounds, cell_size=9.0, n=args.n, n_bands=args.bands,
                             capacity=128, slack=2.0)
     mesh = make_band_mesh(args.bands)
-    step = make_sharded_step(sspec, mesh)
 
     kx, ky = jax.random.split(jax.random.key(0))
     pos = jnp.stack(
@@ -74,6 +81,75 @@ def main() -> None:
          jax.random.uniform(ky, (args.n,), minval=bounds[2], maxval=bounds[3])],
         axis=-1,
     )
+
+    if args.pipeline == "plane":
+        # The PRODUCTION pipeline on the mesh: plane-resident state sharded by
+        # cell rows, the lossless hole-fill rebin doubling as migration
+        # (acceptance masks over ppermute), the production force kernels with
+        # ppermute halo ghosts (parallel/plane_sharded.py).
+        from rust_particle_system_tpu.ops.pallas.resident import (
+            plane_state_from_particles,
+        )
+        from rust_particle_system_tpu.parallel import (
+            check_plane_diags,
+            make_plane_sharded_frame,
+            make_plane_sharded_step,
+            shard_plane_state,
+        )
+
+        spec_p = sspec.grid  # gh divides n_bands by construction
+        pstate = plane_state_from_particles(
+            make_state(pos).with_ids(), spec_p)
+        live0 = args.n - int(pstate.lost)
+        sstate = shard_plane_state(pstate, mesh)
+        step = make_plane_sharded_step(spec_p, mesh)
+
+        for _ in range(2):
+            sstate, diags = step(sstate, params)
+            jax.block_until_ready(sstate.px)
+
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            sstate, diags = step(sstate, params)
+            if args.cpu_mesh:
+                jax.block_until_ready(sstate.px)  # CPU collectives need pacing
+            check_plane_diags(diags, expect_particles=live0)
+        float(np.asarray(sstate.px[0, 0, 0]))
+        elapsed = time.perf_counter() - t0
+
+        out = {
+            "conservation_checked": True,
+            "metric": "sharded_particle_steps_per_sec",
+            "pipeline": "plane_resident",
+            "value": args.frames * args.n / elapsed,
+            "unit": "steps/s",
+            "n_particles": args.n,
+            "bands": args.bands,
+            "frames": args.frames,
+            "ms_per_frame": round(elapsed / args.frames * 1e3, 2),
+            "live_particles": int(diags["live_after"]),
+            "deferred": int(diags["deferred"]),
+            "lost_at_init": args.n - live0,
+            "device0": str(jax.devices()[0]),
+        }
+
+        if args.render:
+            frame = make_plane_sharded_frame(
+                spec_p, mesh,
+                RenderSpec(width=int(2 * xh), height=int(2 * yh),
+                           max_radius_px=2), bounds)
+            sstate, img, diags = frame(sstate, params)
+            check_plane_diags(diags, expect_particles=live0)
+            from rust_particle_system_tpu.render import to_srgb_u8
+            from rust_particle_system_tpu.utils.png import write_png
+
+            write_png(args.render, np.asarray(to_srgb_u8(img)))
+            out["render"] = args.render
+
+        print(json.dumps(out))
+        return
+
+    step = make_sharded_step(sspec, mesh)
     sstate, dropped = shard_state(make_state(pos), sspec)
     assert dropped == 0, f"slot capacity too small: {dropped} dropped"
 
@@ -98,6 +174,7 @@ def main() -> None:
     out = {
         "conservation_checked": True,
         "metric": "sharded_particle_steps_per_sec",
+        "pipeline": "stream",
         "value": args.frames * args.n / elapsed,
         "unit": "steps/s",
         "n_particles": args.n,

@@ -47,6 +47,8 @@ the kernels run in interpreter mode.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -89,21 +91,13 @@ def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
     return best
 
 
-CHUNK_OVERRIDE = 0  # nonzero: force the own-slot chunk width (perf experiments)
+CHUNK_OVERRIDE = 0  # nonzero: force the own-slot gating chunk width (experiments)
 
 
 def _own_chunk(cp: int) -> int:
-    """Own-slot chunk width for occupancy gating (0 disables chunking).
-
-    Each tile's own slots are processed in static lane-chunks of this width, and a
-    chunk whose slots are ALL empty skips its 9-offset pairwise work entirely
-    (``pl.when`` on an in-kernel occupancy reduction — no host plumbing).  Empty
-    cells (settled states are mostly air) cost ~6 VPU ops instead of the full
-    pairwise tile; dense chunks pay ~4 extra scalar reductions per tile.  32 keeps
-    the when-block count (CP/32 x 9 offsets) compile-friendly."""
-    if CHUNK_OVERRIDE:
-        return CHUNK_OVERRIDE
-    return 32
+    """Own-slot occupancy-gating chunk width (see the gating note in
+    ``_make_seg_kernel``)."""
+    return CHUNK_OVERRIDE if CHUNK_OVERRIDE else 32
 
 
 def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
@@ -157,6 +151,15 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                           for k in range(cp_own // ch_w)]
             # Own x-position channel (occupancy source): halo center slab channel 0
             # (classic) or own-only channel 0 (pair-packed) — both are own_full[0].
+            # Occupancy gating (measured at 1M, protos/time_forces.py + bench):
+            # a lane-chunk of own slots that is ALL empty skips its 9-offset
+            # pairwise work (pl.when on in-kernel reductions — no host plumbing).
+            # Air tiles in settled states drop the two walks 28.0 -> 14.3 ms; the
+            # C=128 settle-safe default at partial occupancy (most of a real run)
+            # drops ~2x because cells are front-compacted and their upper chunks
+            # are holes.  Fully-live tiles take ONE branch into the original
+            # unpredicated body, so dense uniform states pay only the
+            # reductions (~1%), not the 3-5% chunk-predication tax.
             own_live = jnp.where(own_full[0] < 0.5 * _SENTINEL, 1.0, 0.0)
 
             def chunk_work(sl):
@@ -179,19 +182,27 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                 for o, r in zip(outs, res):
                     o[0, 0, pl.ds(c0, tc), sl] = r
 
+            conds = [jnp.max(own_live[:, sl]) > 0.5 for sl in chunks]
             if len(chunks) == 1:
-                chunk_work(chunks[0])
+                all_live = conds[0]
             else:
-                for sl in chunks:
-                    any_live = jnp.max(own_live[:, sl]) > 0.5
+                all_live = functools.reduce(jnp.logical_and, conds)
 
-                    @pl.when(any_live)
+            @pl.when(all_live)
+            def _():
+                chunk_work(slice(0, cp_own))
+
+            @pl.when(jnp.logical_not(all_live))
+            def _():
+                for sl, cond in zip(chunks, conds):
+                    @pl.when(cond)
                     def _(sl=sl):
                         chunk_work(sl)
 
-                    @pl.when(jnp.logical_not(any_live))
+                    @pl.when(jnp.logical_not(cond))
                     def _(sl=sl):
-                        zero = jnp.zeros((tc, ch_w), jnp.float32)
+                        zero = jnp.zeros(
+                            (tc, sl.stop - sl.start), jnp.float32)
                         for o in outs:
                             o[0, 0, pl.ds(c0, tc), sl] = zero
             return 0

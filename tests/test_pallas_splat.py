@@ -54,3 +54,71 @@ def test_patch_boundary_straddling(rng):
     color = np.tile(np.asarray([[0.3, 0.8, 0.5, 1.0]], np.float32), (len(xs), 1))
     got, want = _both(pos, color)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------------------------
+# splat_from_planes (the row-strip plane rasterizer) vs the scatter-add oracle.
+# Round-3 regression: the round-2 XLA patch assembly silently dropped sprite mass in
+# the leftmost (stride - margin) image columns at the sim-grid geometry — a gap this
+# direct oracle-parity test would have caught (it only existed for splat_pallas).
+# ------------------------------------------------------------------------------------
+
+def _plane_case(margin, rng, h=45, w=90):
+    from rust_particle_system_tpu.ops.grid import GridSpec
+    from rust_particle_system_tpu.render.splat_jax import splat_accumulate
+    from rust_particle_system_tpu.render.splat_planes import splat_from_planes
+
+    bounds = (0.0, float(w), 0.0, float(h))
+    spec = GridSpec.from_bounds(bounds, 9.0, capacity=8)
+    rs = RenderSpec(width=w, height=h, max_radius_px=2)
+    n = 300
+    pos = np.stack(
+        [rng.uniform(0, w, n), rng.uniform(0, h, n)], axis=-1
+    ).astype(np.float32)
+    # force coverage of all four image edges, incl. the left margin columns
+    pos[:8] = [[0.4, 0.4], [0.4, h - 0.4], [w - 0.4, 0.4], [w - 0.4, h - 0.4],
+               [1.5, h / 2], [w / 2, 1.5], [0.1, 7.0], [6.9, 0.1]]
+
+    # bin by hand into planes (same convention as plane_state_from_particles)
+    C = spec.capacity
+    ppx = np.full((spec.gh, spec.gw, C), 1.0e6, np.float32)
+    ppy = np.full_like(ppx, 1.0e6)
+    occ = np.zeros((spec.gh, spec.gw), np.int32)
+    for x, y in pos:
+        cx = min(int((x - spec.x_min) / spec.cell_width), spec.gw - 1)
+        cy = min(int((y - spec.y_min) / spec.cell_size), spec.gh - 1)
+        k = occ[cy, cx]
+        if k < C:
+            ppx[cy, cx, k], ppy[cy, cx, k] = x, y
+            occ[cy, cx] = k + 1
+    live = jnp.asarray(ppx < 0.5e6)
+    col = jnp.where(live, 0.6, 0.0)
+
+    rgb_got, a_got = splat_from_planes(
+        jnp.asarray(ppx), jnp.asarray(ppy), jnp.zeros_like(live, jnp.float32),
+        jnp.zeros_like(live, jnp.float32), live, 2.0, 300.0,
+        bounds_static=bounds, grid_spec=spec, render_spec=rs,
+        margin=margin, resolve=False, colors=(col, col, col))
+
+    kept = np.asarray(ppx).reshape(-1) < 0.5e6
+    posk = np.stack([np.asarray(ppx).reshape(-1)[kept],
+                     np.asarray(ppy).reshape(-1)[kept]], axis=-1)
+    colk = np.broadcast_to(
+        np.asarray([0.6, 0.6, 0.6, 1.0], np.float32), (len(posk), 4))
+    rgb_want, a_want = splat_accumulate(
+        jnp.asarray(posk), jnp.asarray(colk), jnp.float32(2.0),
+        jnp.asarray(bounds), rs)
+    np.testing.assert_allclose(np.asarray(a_got), np.asarray(a_want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb_got), np.asarray(rgb_want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_planes_rasterizer_oracle_parity_fast_layout(rng):
+    # margin 2 at 9px stride: 13px patches, 16-lane rows (the fast path)
+    _plane_case(2, rng)
+
+
+def test_planes_rasterizer_oracle_parity_wide_layout(rng):
+    # margin 4 at 9px stride: 17px patches, 32-lane rows (the fallback path)
+    _plane_case(4, rng)
