@@ -57,7 +57,7 @@ def flat(p, f):
     return x
 
 
-R = 8
+R = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 ps8 = [jnp.stack([p + (0.001 * i if c >= 2 else 0.0) for i in range(R)])
        for c, p in enumerate(planes)]
 
