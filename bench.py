@@ -25,6 +25,7 @@ outputs.  Scan vs host loop is a wash for heavy frames (measured 65.5 ms both).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -46,9 +47,36 @@ from rust_particle_system_tpu.ops.pallas.sph_step import (
 from rust_particle_system_tpu.render import RenderSpec
 
 N = 1_000_000
-FRAMES = 20
+FRAMES = 40
 BOUNDS = (-960.0, 960.0, -540.0, 540.0)
 CELL_SIZE = 9.0
+# In-jit repetition count for unchained kernels.  Each hsync'd dispatch carries a
+# fixed ~26 ms RPC round-trip on this runtime (measured, protos/time_splat4.py /
+# time_rebin_v5split.py): R=4 biases a 10 ms kernel by +6.5 ms/iter; R=32 bounds
+# the bias at ~0.8 ms.  Iterations jostle the inputs by an i-dependent epsilon so
+# XLA cannot hoist the body out of the fori_loop.
+R_INJIT = 32
+SETTLE_FRAMES = 238  # C=128 row: frames of gravity settling before timing
+FLOW_FRAMES = 100
+FUSED_REPS = 31
+RENDER_WH = (1920, 1080)
+
+# Smoke mode (RPS_BENCH_SMOKE=1): tiny shapes that run the SAME code paths in
+# interpret-mode Pallas on CPU — validates the bench end-to-end without the chip.
+# Numbers printed in this mode are meaningless; it exists to catch protocol bugs.
+SMOKE = os.environ.get("RPS_BENCH_SMOKE") == "1"
+if SMOKE:
+    # The axon plugin overrides jax_platforms at interpreter startup (env vars
+    # lose); force CPU the way tests/conftest.py does.
+    jax.config.update("jax_platforms", "cpu")
+    N = 4096
+    FRAMES = 3
+    BOUNDS = (-144.0, 144.0, -72.0, 72.0)  # 32x16 cells at cell_size 9
+    R_INJIT = 2
+    SETTLE_FRAMES = 2
+    FLOW_FRAMES = 5
+    FUSED_REPS = 2
+    RENDER_WH = (288, 144)  # keeps the 1-world-unit-per-pixel integral stride
 
 
 def uniform_init(key, n, bounds):
@@ -90,13 +118,15 @@ def measure_phases(spec, params, frame_ms):
     )
     from rust_particle_system_tpu.runtime.timing import hsync
 
-    R = 8
+    R = R_INJIT
+    NB = 4  # distinct base states; iterations beyond NB jostle by an epsilon
+    interp = jax.default_backend() not in ("tpu", "axon")
     dt = params.dt
     pss = [
         plane_state_from_particles(
             uniform_init(jax.random.key(100 + i), N, BOUNDS).with_ids(), spec
         )
-        for i in range(R)
+        for i in range(NB)
     ]
     px8 = jnp.stack([ps.px for ps in pss])
     py8 = jnp.stack([ps.py for ps in pss])
@@ -105,25 +135,27 @@ def measure_phases(spec, params, frame_ms):
     id8 = jnp.stack([ps.idsf for ps in pss])
 
     def predicted(i):
-        live = px8[i] < 0.5 * SENTINEL
-        vx = jnp.where(live, vx8[i], 0.0)
-        vy = jnp.where(live, vy8[i] - params.gravity * dt, 0.0)
-        predx = jnp.where(live, px8[i] + vx * dt, SENTINEL)
-        predy = jnp.where(live, py8[i] + vy * dt, SENTINEL)
-        return predx, predy, vx, vy
+        b = i % NB
+        eps = 0.003 * jnp.float32(i // NB)
+        live = px8[b] < 0.5 * SENTINEL
+        vx = jnp.where(live, vx8[b], 0.0)
+        vy = jnp.where(live, vy8[b] - params.gravity * dt, 0.0)
+        predx = jnp.where(live, px8[b] + eps + vx * dt, SENTINEL)
+        predy = jnp.where(live, py8[b] + eps + vy * dt, SENTINEL)
+        return predx, predy, vx, vy, b
 
     def upto_rebin(i, acc):
-        predx, predy, vx, vy = predicted(i)
-        planes, _ = rebin_planes([predx, predy, vx, vy, id8[i]], spec,
-                                 interpret=False, variant=5)
+        predx, predy, vx, vy, b = predicted(i)
+        planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
+                                 interpret=interp, variant=5)
         return acc + jnp.sum(planes[0][::32, ::32, 0])
 
     def upto_forces(i, acc):
-        predx, predy, vx, vy = predicted(i)
-        planes, _ = rebin_planes([predx, predy, vx, vy, id8[i]], spec,
-                                 interpret=False, variant=5)
+        predx, predy, vx, vy, b = predicted(i)
+        planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
+                                 interpret=interp, variant=5)
         nvx, _ = _forces_from_cells(planes[0], planes[1], planes[2], planes[3],
-                                    spec, params, False)
+                                    spec, params, interp)
         return acc + jnp.sum(nvx[::16, ::16, 0])
 
     def timed(body):
@@ -139,7 +171,7 @@ def measure_phases(spec, params, frame_ms):
         "rebin_ms": round(t_rebin, 2),
         "force_kernels_ms": round(t_forces - t_rebin, 2),
         "tail_ms": round(frame_ms - t_forces, 2),
-        "protocol": "in-jit x8 cumulative prefixes; tail = frame - prefix",
+        "protocol": f"in-jit x{R} cumulative prefixes; tail = frame - prefix",
     }
 
 
@@ -227,11 +259,10 @@ def main() -> None:
     lost128_init = int(ps128.lost)
     sph128 = jax.jit(lambda s: plane_step(s, params, spec128), donate_argnums=0)
     ps128 = sph128(sph128(ps128))
-    SETTLE_FRAMES = 238
     for _ in range(SETTLE_FRAMES):
         ps128 = sph128(ps128)
     hsync(ps128.px)
-    per128, ps128 = time_chained(sph128, ps128, 10)
+    per128, ps128 = time_chained(sph128, ps128, 20)
     settled_ms = per128 * 1e3
     lost128 = int(ps128.lost) - lost128_init
 
@@ -243,7 +274,6 @@ def main() -> None:
     _progress("flow...")
     fparams = make_flow_params(bounds=BOUNDS)
     fstate = uniform_init(jax.random.key(1), N, BOUNDS)
-    FLOW_FRAMES = 100
     fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
     hsync(fstate.pos)
     t0 = time.perf_counter()
@@ -254,7 +284,7 @@ def main() -> None:
 
     # Secondary: fused step + render p50 frame time (the BASELINE.json p50
     # metric) — physics AND 1080p image from the planes, zero binning work.
-    rspec = RenderSpec(width=1920, height=1080, max_radius_px=2)
+    rspec = RenderSpec(width=RENDER_WH[0], height=RENDER_WH[1], max_radius_px=2)
     rparams = params._replace(particle_size=jnp.float32(2.0))
     fused = jax.jit(
         lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS),
@@ -267,10 +297,10 @@ def main() -> None:
     fps2, img = fused(fps2)
     hsync(img)
     t0 = time.perf_counter()
-    for _ in range(11):
+    for _ in range(FUSED_REPS):
         fps2, img = fused(fps2)
     hsync((fps2.px, img))
-    p50_frame_ms = (time.perf_counter() - t0) / 11 * 1e3
+    p50_frame_ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
 
     # Same, with the opt-in tight patch (margin = radius + 1 px drift slack):
     # keeps radius-2 sprites on the 16-lane-row fast path of the row-strip
@@ -288,42 +318,41 @@ def main() -> None:
     fps3, img = fused3(fps3)
     hsync(img)
     t0 = time.perf_counter()
-    for _ in range(11):
+    for _ in range(FUSED_REPS):
         fps3, img = fused3(fps3)
     hsync((fps3.px, img))
-    fused_margin3_ms = (time.perf_counter() - t0) / 11 * 1e3
+    fused_margin3_ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
 
     # Secondary: 1080p point-splat of 1M sprites from the PRODUCTION state — the
     # plane-resident render needs NO binning (the planes feed the MXU patch
-    # rasterizer directly).  In-jit x4 over distinct states, checksum output.
+    # rasterizer directly).  In-jit x R_INJIT over jostled states, checksum output.
     _progress("splat (plane-resident)...")
-    rstates = [
-        plane_state_from_particles(
-            uniform_init(jax.random.key(50 + i), N, BOUNDS).with_ids(), spec)
-        for i in range(4)
-    ]
-    rpx = jnp.stack([r.px for r in rstates])
-    rpy = jnp.stack([r.py for r in rstates])
-    rvx = jnp.stack([r.vx for r in rstates])
-    rvy = jnp.stack([r.vy for r in rstates])
+    import dataclasses as _dc
+    from rust_particle_system_tpu.ops.pallas.rebin import SENTINEL as _SEN
+
+    rs0 = plane_state_from_particles(
+        uniform_init(jax.random.key(50), N, BOUNDS).with_ids(), spec)
+    rlive = rs0.px < 0.5 * _SEN
 
     @jax.jit
-    def splat4(rpx, rpy, rvx, rvy):
-        import dataclasses as _dc
-
+    def splatR(rpx, rpy, rvx, rvy):
         def one(i, acc):
+            eps = 0.003 * jnp.float32(i)
             psr = _dc.replace(
-                rstates[0], px=rpx[i], py=rpy[i], vx=rvx[i], vy=rvy[i])
+                rs0,
+                px=jnp.where(rlive, rpx + eps, _SEN),
+                py=jnp.where(rlive, rpy + eps, _SEN),
+                vx=rvx, vy=rvy)
             img = render_plane_state(psr, rparams, spec, rspec,
                                      bounds_static=BOUNDS)
             return acc + jnp.sum(img[::64, ::64, 0])
 
-        return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
+        return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
 
-    hsync(splat4(rpx, rpy, rvx, rvy))
+    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy))
     t0 = time.perf_counter()
-    hsync(splat4(rpx, rpy, rvx, rvy))
-    render_ms = (time.perf_counter() - t0) / 4 * 1e3
+    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy))
+    render_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
     # Raw-positions -> image path (one sort + gather + plane build + rasterize),
     # for users whose positions do NOT already live in planes.
@@ -331,26 +360,27 @@ def main() -> None:
     from rust_particle_system_tpu.ops.pallas.sph_step import render_state_planes
 
     _progress("splat (raw positions)...")
-    rawstates = [uniform_init(jax.random.key(70 + i), N, BOUNDS)
-                 for i in range(4)]
-    rpos4 = jnp.stack([st.pos for st in rawstates])
-    color = rawstates[0].color
+    raw0 = uniform_init(jax.random.key(70), N, BOUNDS)
+    x0s, x1s, y0s, y1s = BOUNDS
 
     @jax.jit
-    def splat4raw(rpos4, color):
+    def splatRraw(rpos, color):
         def one(i, acc):
+            eps = 0.003 * jnp.float32(i)
+            p = jnp.stack([jnp.clip(rpos[:, 0] + eps, x0s, x1s),
+                           jnp.clip(rpos[:, 1] + eps, y0s, y1s)], axis=-1)
             img = render_state_planes(
-                make_state(rpos4[i], color=color), rparams, spec, rspec,
+                make_state(p, color=color), rparams, spec, rspec,
                 bounds_static=BOUNDS,
             )
             return acc + jnp.sum(img[::64, ::64, 0])
 
-        return jax.lax.fori_loop(0, 4, one, jnp.float32(0))
+        return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
 
-    hsync(splat4raw(rpos4, color))
+    hsync(splatRraw(raw0.pos, raw0.color))
     t0 = time.perf_counter()
-    hsync(splat4raw(rpos4, color))
-    render_raw_ms = (time.perf_counter() - t0) / 4 * 1e3
+    hsync(splatRraw(raw0.pos, raw0.color))
+    render_raw_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
     print(
         json.dumps(
