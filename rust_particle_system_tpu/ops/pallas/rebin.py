@@ -15,6 +15,19 @@ This replaces the reference's entire per-frame binning pipeline —
 Kernel formulations (all exact vs their oracles; measured in protos/rebin_roll.py,
 protos/time_rebin_v3.py and protos/time_rebin_v4.py):
 
+* ``variant=6``: ROW-FUSED lossless hole-fill — variant 5's exact semantics in ONE
+  kernel.  v5 spends a large fraction of its time outside the two pass kernels:
+  XLA window concats materialize [nc, 2C] copies of every channel twice, the two
+  retention merges re-read in/out/acc, and each stage is a separate HBM round
+  trip.  v6 makes the grid row the program unit: row r's program loads rows
+  r±1 of every channel (plus px/py of rows r±2, needed only to RE-DERIVE the
+  neighbor rows' adoption decisions for the retention rule) as clamped BlockSpec
+  views — no window materialization at all — computes pass Y + Y-retention into
+  VMEM scratch, runs pass X entirely in-register (the X window is a ±1 sublane
+  shift of the row), and writes the final planes once.  Identical output to
+  variant 5 bit-for-bit (pinned by tests/test_rebin.py); single-chip only (the
+  band-sharded path drives the v5 passes directly with ghost rows).
+
 * ``variant=5`` (default): LOSSLESS separable hole-fill — variant 4 plus three
   rules that make dropping impossible: holes = dead slots only (a mover vacates
   its slot only when a neighbor actually adopts it — an ``accepted`` mask feeds a
@@ -98,6 +111,10 @@ V4_SUBA = 8  # dest cells per one-hot apply batch
 # this Mosaic toolchain rejects it: "Unsupported dot precision: HIGH" — retest
 # per round via protos/time_rebin_v4.py "8,128,high".)
 V4_PRECISION = jax.lax.Precision.HIGHEST
+
+# v6 tuning knob: dest cells per one-hot apply batch (clipped down to the
+# largest divisor of the padded row width that is a multiple of 8).
+V6_SUBA = 24
 
 
 def _round_up(x, m):
@@ -422,6 +439,271 @@ def _retention_merge(in_flats, out_flats, acc, spec: GridSpec, shift: int,
     return [jnp.where(retain, i, o) for i, o in zip(in_flats, out_flats)]
 
 
+def _make_kernel_v6(C: int, k: int, gw: int, gh: int, GWP: int, x_min: float,
+                    y_min: float, cell_w: float, cell_h: float, fills: tuple,
+                    suba: int):
+    """Row-fused lossless rebin: v5's pass Y + retention + pass X + retention in
+    ONE kernel per grid row (see the module docstring).  Cells of the row ride
+    the SUBLANE dim ([GWP, C] blocks), so the pass-X window is a ±1 sublane
+    shift and needs no materialization; the pass-Y window rows arrive as
+    clamped BlockSpec views of the same planes (no copies).  Retention re-derives
+    the neighbor rows' adoption decisions from first principles — the only
+    inputs that costs are px/py views of rows r±2 (keep-count competition).
+
+    All rank prefixes are [GWP, C] x triu[C, C] MXU matmuls (0/1 exact); the
+    down-group window rank adds the up-group's kept count, reproducing v4/v5's
+    single [*, 2C] window prefix bit-for-bit.
+    """
+    W2 = 2 * C
+    HI = V4_PRECISION
+
+    def kernel(ut_ref, *refs):
+        # refs layout: px views (r-2..r+1), py views (r-2..r+1),
+        # value-channel views (r-1, r, r+1) per channel c in [2, k),
+        # then k out refs + counts, then k VMEM scratch (pass-Y result).
+        # Row r+2 is NOT needed anywhere: row-r lanes are the g0 (first) group
+        # of row r+1's window, so r+2 arrivals rank strictly after them and
+        # cannot affect row-r adoptions.
+        pxm2, pxm1, px0, pxp1 = (refs[i][0] for i in range(4))
+        pym2, pym1, py0, pyp1 = (refs[4 + i][0] for i in range(4))
+        valm1 = [refs[8 + 3 * c][0] for c in range(k - 2)]
+        val0 = [refs[8 + 3 * c + 1][0] for c in range(k - 2)]
+        valp1 = [refs[8 + 3 * c + 2][0] for c in range(k - 2)]
+        outs = refs[8 + 3 * (k - 2) : 8 + 3 * (k - 2) + k]
+        cnt_ref = refs[8 + 3 * (k - 2) + k]
+        scr = refs[8 + 3 * (k - 2) + k + 1 :]
+        assert len(scr) == k
+
+        rr = pl.program_id(0)
+        rv = jnp.zeros((GWP, 1), jnp.int32) + rr           # own global row
+        colv = jax.lax.broadcasted_iota(jnp.int32, (GWP, 1), 0)  # own column
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (suba, C), 1)
+        f32 = lambda m: jnp.where(m, 1.0, 0.0)
+
+        def destxy(x, y):
+            kx = jnp.clip(jnp.floor((x - x_min) / cell_w).astype(jnp.int32),
+                          0, gw - 1)
+            ky = jnp.clip(jnp.floor((y - y_min) / cell_h).astype(jnp.int32),
+                          0, gh - 1)
+            return kx, ky
+
+        live = lambda x: x < 0.5 * SENTINEL
+
+        def prefix(maskf):
+            # inclusive prefix count along lanes (exact: 0/1 x 0/1, f32 acc)
+            return jax.lax.dot_general(
+                maskf, ut_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def rowsum(maskf):
+            return jnp.sum(maskf, axis=1, keepdims=True)
+
+        # Channel accessors in window-channel order (px, py, then values).
+        own_ch = [px0, py0] + val0
+        up_ch = [pxm1, pym1] + valm1
+        dn_ch = [pxp1, pyp1] + valp1
+
+        # ---------------- pass Y: adoption into row r ----------------
+        kx0, ky0 = destxy(px0, py0)
+        live0 = live(px0)
+        _, kym1 = destxy(pxm1, pym1)
+        _, kyp1 = destxy(pxp1, pyp1)
+        livem1 = live(pxm1) & (rv >= 1)
+        livep1 = live(pxp1) & (rv <= gh - 2)
+        keep_m1 = livem1 & (kym1 >= rv)     # clamped hop toward dest
+        keep_p1 = livep1 & (kyp1 <= rv)
+        deadY = jnp.logical_not(live0)
+        stayY = live0 & (ky0 == rv)
+
+        kpf_m1, kpf_p1 = f32(keep_m1), f32(keep_p1)
+        pr_m1 = prefix(kpf_m1)
+        pr_p1 = prefix(kpf_p1)
+        n_m1 = pr_m1[:, C - 1 : C]
+        arank_m1 = pr_m1.astype(jnp.int32) - 1
+        arank_p1 = (n_m1 + pr_p1).astype(jnp.int32) - 1
+        hdf = f32(deadY)
+        hps = prefix(hdf)
+        hrank = hps.astype(jnp.int32) - 1
+        narr = (n_m1 + pr_p1[:, C - 1 : C]).astype(jnp.int32)
+
+        keepW = jnp.concatenate([kpf_m1, kpf_p1], axis=1)        # [GWP, 2C] f32
+        arankW = jnp.concatenate([arank_m1, arank_p1], axis=1)
+        winY = [jnp.concatenate([u, d], axis=1) for u, d in zip(up_ch, dn_ch)]
+
+        def apply_pass(keepWf, arankWi, hrk, deadf, nar, win_ch, stay_mask,
+                       own_vals, out_write):
+            """One-hot hole-fill apply, suba cells per batch.  out_write(sl,
+            per-channel [suba, C] values) commits each batch."""
+            for i in range(GWP // suba):
+                sl = slice(i * suba, (i + 1) * suba)
+                rk = arankWi[sl]
+                hr = hrk[sl]
+                eq = rk[:, :, None] == hr[:, None, :]
+                onehot = jnp.where(
+                    eq, keepWf[sl][:, :, None] * deadf[sl][:, None, :], 0.0)
+                vals = jnp.stack([w[sl] for w in win_ch], axis=1)  # [suba,k,2C]
+                app = jax.lax.dot_general(
+                    vals, onehot, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=HI)
+                filled = (deadf[sl] > 0.5) & (hr < nar[sl])
+                stays = stay_mask[sl]
+                out_write(sl, [
+                    jnp.where(stays, own_vals[c][sl],
+                              jnp.where(filled, app[:, c, :],
+                                        jnp.float32(fills[c])))
+                    for c in range(k)
+                ])
+
+        def write_scr(sl, vals):
+            for c in range(k):
+                scr[c][sl, :] = vals[c]
+
+        apply_pass(keepW, arankW, hrank, hdf, narr, winY, stayY, own_ch,
+                   write_scr)
+
+        # ----- Y retention: was a row-r mover adopted by row r-1 / r+1? -----
+        moverY = live0 & (ky0 != rv)
+        _, kym2 = destxy(pxm2, pym2)
+        livem2 = live(pxm2) & (rv >= 2)
+        # row r-1's window = [row r-2 (g0), row r (g1)]
+        keep_up_into_m1 = livem2 & (kym2 >= rv - 1)
+        keep_r_into_m1 = live0 & (ky0 <= rv - 1) & (rv >= 1)
+        arank_r_in_m1 = (rowsum(f32(keep_up_into_m1))
+                         + prefix(f32(keep_r_into_m1))).astype(jnp.int32) - 1
+        nholes_m1 = rowsum(f32(jnp.logical_not(live(pxm1)))).astype(jnp.int32)
+        adopted_up = keep_r_into_m1 & (arank_r_in_m1 < nholes_m1)
+        # row r+1's window = [row r (g0), row r+2 (g1)]: row-r lanes have no offset
+        keep_r_into_p1 = live0 & (ky0 >= rv + 1) & (rv <= gh - 2)
+        arank_r_in_p1 = prefix(f32(keep_r_into_p1)).astype(jnp.int32) - 1
+        nholes_p1 = rowsum(f32(jnp.logical_not(live(pxp1)))).astype(jnp.int32)
+        adopted_dn = keep_r_into_p1 & (arank_r_in_p1 < nholes_p1)
+        retainY = moverY & jnp.logical_not(adopted_up | adopted_dn)
+
+        mid = [jnp.where(retainY, own_ch[c], scr[c][...]) for c in range(k)]
+
+        # ---------------- pass X within the row ----------------
+        mkx, mky = destxy(mid[0], mid[1])
+        liveM = live(mid[0])
+
+        def shift_dn(a, fill):  # value at column c comes from column c-1
+            top = jnp.full((1, a.shape[1]), fill, a.dtype)
+            return jnp.concatenate([top, a[:-1]], axis=0)
+
+        def shift_up(a, fill):  # value at column c comes from column c+1
+            bot = jnp.full((1, a.shape[1]), fill, a.dtype)
+            return jnp.concatenate([a[1:], bot], axis=0)
+
+        up_live = shift_dn(f32(liveM), 0.0) > 0.5
+        dn_live = shift_up(f32(liveM), 0.0) > 0.5
+        up_kx = shift_dn(mkx, 0)
+        dn_kx = shift_up(mkx, 0)
+        up_ky = shift_dn(mky, -1)
+        dn_ky = shift_up(mky, -1)
+        kg0 = up_live & (up_ky == rv) & (up_kx >= colv) & (colv > 0)
+        kg1 = dn_live & (dn_ky == rv) & (dn_kx <= colv) & (colv < gw - 1)
+        deadX = jnp.logical_not(liveM)
+        stayX = liveM & ((mky != rv) | (mkx == colv))
+
+        kg0f, kg1f = f32(kg0), f32(kg1)
+        pr_g0 = prefix(kg0f)
+        pr_g1 = prefix(kg1f)
+        ng0 = pr_g0[:, C - 1 : C]
+        arank_g0 = pr_g0.astype(jnp.int32) - 1
+        arank_g1 = (ng0 + pr_g1).astype(jnp.int32) - 1
+        hdfX = f32(deadX)
+        hpsX = prefix(hdfX)
+        hrankX = hpsX.astype(jnp.int32) - 1
+        nholesX = hpsX[:, C - 1 : C].astype(jnp.int32)
+        narrX = (ng0 + pr_g1[:, C - 1 : C]).astype(jnp.int32)
+
+        keepX = jnp.concatenate([kg0f, kg1f], axis=1)
+        arankX = jnp.concatenate([arank_g0, arank_g1], axis=1)
+        winX = [jnp.concatenate([shift_dn(m, fills[c]),
+                                 shift_up(m, fills[c])], axis=1)
+                for c, m in enumerate(mid)]
+
+        # X retention, computed BEFORE the apply overwrites out refs: adoption
+        # of cell c's movers is its neighbors' (g1 at c-1, g0 at c+1) decision.
+        adopted_g0 = f32(kg0 & (arank_g0 < nholesX))
+        adopted_g1 = f32(kg1 & (arank_g1 < nholesX))
+        adopted_by_left = shift_dn(adopted_g1, 0.0) > 0.5
+        adopted_by_right = shift_up(adopted_g0, 0.0) > 0.5
+        moverX = liveM & (mky == rv) & (mkx != colv)
+        retainX = moverX & jnp.logical_not(adopted_by_left | adopted_by_right)
+
+        def write_out(sl, vals):
+            for c in range(k):
+                outs[c][0, sl, :] = jnp.where(retainX[sl], mid[c][sl], vals[c])
+
+        apply_pass(keepX, arankX, hrankX, hdfX, narrX, winX, stayX, mid,
+                   write_out)
+
+        cnt_ref[0, :, :] = jnp.sum(
+            jnp.where(outs[0][0] < 0.5 * SENTINEL, 1, 0),
+            axis=1, keepdims=True).astype(jnp.int32)
+
+    return kernel
+
+
+def _rebin_v6(planes, spec: GridSpec, fills, interpret: bool):
+    gh, gw, C = planes[0].shape
+    k = len(planes)
+    GWP = _round_up(gw, 8)
+    suba = V6_SUBA
+    while GWP % suba != 0 or suba % 8 != 0:
+        suba -= 8 if suba > 8 else 1
+        if suba < 1:
+            suba = GWP
+            break
+
+    def padw(p, f):
+        if GWP == gw:
+            return p
+        return jnp.concatenate(
+            [p, jnp.full((gh, GWP - gw, C), f, jnp.float32)], axis=1)
+
+    pp = [padw(p, f) for p, f in zip(planes, fills)]
+    ut = jnp.triu(jnp.ones((C, C), jnp.float32))
+
+    def view(dy):
+        return pl.BlockSpec((1, GWP, C),
+                            lambda r, dy=dy: (jnp.clip(r + dy, 0, gh - 1), 0, 0))
+
+    in_specs = [pl.BlockSpec((C, C), lambda r: (0, 0))]
+    operands = [ut]
+    for ch in (0, 1):  # px, py: rows r-2..r+1 (r+2 provably never needed)
+        for dy in (-2, -1, 0, 1):
+            in_specs.append(view(dy))
+            operands.append(pp[ch])
+    for c in range(2, k):  # value channels: rows r-1..r+1
+        for dy in (-1, 0, 1):
+            in_specs.append(view(dy))
+            operands.append(pp[c])
+
+    out_specs = [pl.BlockSpec((1, GWP, C), lambda r: (r, 0, 0))] * k + [
+        pl.BlockSpec((1, GWP, 1), lambda r: (r, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((gh, GWP, C), jnp.float32)] * k + [
+        jax.ShapeDtypeStruct((gh, GWP, 1), jnp.int32)]
+
+    res = pl.pallas_call(
+        _make_kernel_v6(C, k, gw, gh, GWP, float(spec.x_min), float(spec.y_min),
+                        float(spec.cell_width), float(spec.cell_size), fills,
+                        suba),
+        grid=(gh,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((GWP, C), jnp.float32)] * k,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    new_planes = [r[:, :gw, :] for r in res[:k]]
+    counts = res[k][:, :gw, 0].reshape(gh * gw)
+    return new_planes, counts
+
+
 def _make_kernel_v2(C: int, k: int, gw: int, gh: int, x_min: float, y_min: float,
                     cell_w: float, cell_h: float, fills: tuple, suba: int = SUBA):
     """Staged log-shift index compaction + one-hot value apply (fallback)."""
@@ -510,10 +792,11 @@ def rebin_planes(planes, spec: GridSpec, fills=None, interpret: bool | None = No
 
     Returns ``(new_planes, counts)``, counts ``[gh*gw]`` int32.  Variants 2/3:
     counts = per-cell CANDIDATE totals (values above C mean dropped overflow) and
-    live slots are compacted to the low lanes.  Variants 4/5: counts = per-cell
+    live slots are compacted to the low lanes.  Variants 4/5/6: counts = per-cell
     final LIVE totals (always <= C) and live slots stay interleaved with sentinel
-    holes; variant 5 (default) additionally never drops — un-adopted movers are
-    retained in place (see the module docstring for the full contract).
+    holes; variants 5 (default) and 6 (row-fused single kernel, bit-identical
+    output to 5) additionally never drop — un-adopted movers are retained in
+    place (see the module docstring for the full contract).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -525,6 +808,9 @@ def rebin_planes(planes, spec: GridSpec, fills=None, interpret: bool | None = No
         fills = tuple(SENTINEL if c < 2 else 0.0 for c in range(k))
     fills = tuple(float(f) for f in fills)
     nc_pad = _round_up(nc, BC)
+
+    if variant == 6:
+        return _rebin_v6(planes, spec, fills, interpret)
 
     if variant in (4, 5):
         lossless = variant == 5

@@ -180,7 +180,7 @@ def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
     kept = jnp.sum(jnp.minimum(counts, C), dtype=jnp.int32)
     lost_now = live_before - kept
 
-    if variant == 5:
+    if variant in (5, 6):
         # Deferred slots: destination cell != resident cell (capacity-retained or
         # in transit).  They take no pair forces this frame — sentinel-park them
         # for the walks and pin their velocity to the post-gravity value, the

@@ -297,20 +297,22 @@ def oracle_rebin_v5(planes, spec):
     return [f.reshape(gh, gw, C) for f in flats], counts
 
 
+@pytest.mark.parametrize("variant", [5, 6])
 @pytest.mark.parametrize("drift", [0.9, 1.8])
-def test_rebin_v5_matches_pass_oracle(rng, drift):
+def test_rebin_v5_matches_pass_oracle(rng, drift, variant):
     spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
                     capacity=16)
     planes = _demo_planes(rng, spec, 16, 0.6, drift)
     want_planes, want_counts = oracle_rebin_v5(planes, spec)
-    got_planes, counts = rebin_planes(planes, spec, variant=5)
+    got_planes, counts = rebin_planes(planes, spec, variant=variant)
     for c in range(len(planes)):
         np.testing.assert_array_equal(np.asarray(got_planes[c]),
                                       np.asarray(want_planes[c]))
     np.testing.assert_array_equal(np.asarray(counts), want_counts)
 
 
-def test_rebin_v5_never_drops(rng):
+@pytest.mark.parametrize("variant", [5, 6])
+def test_rebin_v5_never_drops(rng, variant):
     """Severely crowded grid (many cells at full capacity): every particle must
     survive the rebin, bit-identically, with no duplicates."""
     spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=10.0, gw=4, gh=2, capacity=4)
@@ -327,7 +329,7 @@ def test_rebin_v5_never_drops(rng):
                 ids[cy, cx, s] = float(nid)
                 nid += 1
     planes = [jnp.asarray(px), jnp.asarray(py), jnp.asarray(ids)]
-    got, counts = rebin_planes(planes, spec, variant=5,
+    got, counts = rebin_planes(planes, spec, variant=variant,
                                fills=(SENTINEL, SENTINEL, -1.0))
     live = np.asarray(got[0]) < 0.5 * SENTINEL
     out_ids = np.sort(np.asarray(got[2])[live])
@@ -335,7 +337,8 @@ def test_rebin_v5_never_drops(rng):
     assert int(np.asarray(counts).sum()) == nid
 
 
-def test_rebin_v5_fast_particle_hops_toward_destination(rng):
+@pytest.mark.parametrize("variant", [5, 6])
+def test_rebin_v5_fast_particle_hops_toward_destination(rng, variant):
     """A >1-cell/frame mover is not dropped: it hops one cell per rebin call
     toward its destination and arrives after ceil(distance) calls."""
     spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=10.0, gw=6, gh=1, capacity=4)
@@ -345,19 +348,20 @@ def test_rebin_v5_fast_particle_hops_toward_destination(rng):
     py[0, 0, 0] = 5.0
     planes = [jnp.asarray(px), jnp.asarray(py)]
     for hop in range(1, 5):
-        planes, counts = rebin_planes(planes, spec, variant=5)
+        planes, counts = rebin_planes(planes, spec, variant=variant)
         live = np.asarray(planes[0]) < 0.5 * SENTINEL
         assert int(live.sum()) == 1, f"particle lost at hop {hop}"
         cell = int(np.argwhere(live.reshape(6, 4))[0][0])
         assert cell == min(hop, 4), f"hop {hop}: resident cell {cell}"
         planes = [jnp.asarray(p) for p in planes]
     # Arrived: destination == resident cell, stays put on further rebins.
-    planes, _ = rebin_planes(planes, spec, variant=5)
+    planes, _ = rebin_planes(planes, spec, variant=variant)
     live = np.asarray(planes[0]) < 0.5 * SENTINEL
     assert int(np.argwhere(live.reshape(6, 4))[0][0]) == 4
 
 
-def test_rebin_v5_no_wrap_duplication():
+@pytest.mark.parametrize("variant", [5, 6])
+def test_rebin_v5_no_wrap_duplication(variant):
     """Regression (found by the 1M conservation bench): an in-transit particle
     sitting in the LAST column satisfies the clamped pass-X keep test of the
     next row's FIRST cell through the flat-shift wrap — it must not be adopted
@@ -375,7 +379,7 @@ def test_rebin_v5_no_wrap_duplication():
     py[0, 2, 0] = 17.0
     ids[0, 2, 0] = 3.0
     planes = [jnp.asarray(px), jnp.asarray(py), jnp.asarray(ids)]
-    got, counts = rebin_planes(planes, spec, variant=5,
+    got, counts = rebin_planes(planes, spec, variant=variant,
                                fills=(SENTINEL, SENTINEL, -1.0))
     live = np.asarray(got[0]) < 0.5 * SENTINEL
     out_ids = np.sort(np.asarray(got[2])[live])
@@ -515,3 +519,18 @@ def test_plane_step_retains_escapes_lossless():
     assert escapes > 0
     out4 = plane_step(fast, params, spec, variant=4)
     assert int(out4.lost) - int(ps.lost) == escapes
+
+
+@pytest.mark.parametrize("drift", [0.4, 0.9, 1.8])
+def test_rebin_v6_bit_identical_to_v5(rng, drift):
+    """v6 (row-fused single kernel) must reproduce v5's output BIT-FOR-BIT —
+    same slots, same order, same counts — including crowded cells, edge rows
+    and in-transit movers."""
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=16)
+    planes = _demo_planes(rng, spec, 16, 0.7, drift)
+    a5, c5 = rebin_planes(planes, spec, variant=5)
+    a6, c6 = rebin_planes(planes, spec, variant=6)
+    for c in range(len(planes)):
+        np.testing.assert_array_equal(np.asarray(a6[c]), np.asarray(a5[c]))
+    np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
