@@ -101,3 +101,16 @@ timed("passY lossless + retention", passy_ret)
 
 timed("full v5", lambda ps: jnp.sum(
     rebin_planes(ps, spec, interpret=False, variant=5)[0][0][::32, ::32]))
+
+timed("full v6 (row-fused)", lambda ps: jnp.sum(
+    rebin_planes(ps, spec, interpret=False, variant=6)[0][0][::32, ::32]))
+
+# exactness cross-check at this geometry (v6 must be bit-identical to v5)
+a5, c5 = rebin_planes(planes, spec, interpret=False, variant=5)
+a6, c6 = rebin_planes(planes, spec, interpret=False, variant=6)
+import numpy as np
+for c, (x5, x6) in enumerate(zip(a5, a6)):
+    d = float(jnp.max(jnp.abs(x5 - x6)))
+    assert d == 0.0, (c, d)
+assert int(jnp.sum(jnp.abs(c5 - c6))) == 0
+print("v6 bit-identical to v5 at this geometry", flush=True)

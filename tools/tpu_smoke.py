@@ -186,6 +186,30 @@ def smoke_rebin_v4_exactness():
     return "bit-exact vs oracle (incl. value pass-through)"
 
 
+def smoke_rebin_v5_v6_exactness():
+    """v5 (two-pass lossless) and v6 (row-fused) on-chip vs the numpy v5 oracle
+    AND bit-identical to each other."""
+    sys.path.insert(0, "tests")
+    from test_rebin import _demo_planes, oracle_rebin_v5  # type: ignore
+
+    from rust_particle_system_tpu.ops.grid import GridSpec
+    from rust_particle_system_tpu.ops.pallas.rebin import rebin_planes
+
+    rng = np.random.default_rng(1)
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                    capacity=16)
+    planes = _demo_planes(rng, spec, 16, 0.7, 1.3, k=5)
+    want, want_counts = oracle_rebin_v5(planes, spec)
+    got5, c5 = rebin_planes(planes, spec, variant=5, interpret=False)
+    got6, c6 = rebin_planes(planes, spec, variant=6, interpret=False)
+    for c in range(len(planes)):
+        np.testing.assert_array_equal(np.asarray(got5[c]), np.asarray(want[c]))
+        np.testing.assert_array_equal(np.asarray(got6[c]), np.asarray(got5[c]))
+    np.testing.assert_array_equal(np.asarray(c5), want_counts)
+    np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
+    return "v5 bit-exact vs oracle; v6 bit-identical to v5 on-chip"
+
+
 def smoke_plane_step_parity():
     """Plane-resident frame vs the stream-resident frame on-chip, 8 live frames."""
     from rust_particle_system_tpu.ops.pallas.resident import (
@@ -232,6 +256,7 @@ def main():
     check("onehot_passthrough_precision", smoke_onehot_passthrough_precision)
     check("ids_f32_roundtrip", smoke_ids_f32_roundtrip)
     check("rebin_v4_exactness", smoke_rebin_v4_exactness)
+    check("rebin_v5_v6_exactness", smoke_rebin_v5_v6_exactness)
     check("force_walk_parity", smoke_force_walk_parity)
     check("plane_step_parity", smoke_plane_step_parity)
     check("splat_parity", smoke_splat_parity)
