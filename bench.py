@@ -134,9 +134,9 @@ def measure_phases(spec, params, frame_ms):
     vy8 = jnp.stack([ps.vy for ps in pss])
     id8 = jnp.stack([ps.idsf for ps in pss])
 
-    def predicted(i):
+    def predicted(i, base):
         b = i % NB
-        eps = 0.003 * jnp.float32(i // NB)
+        eps = 0.003 * jnp.float32(i // NB) + base
         live = px8[b] < 0.5 * SENTINEL
         vx = jnp.where(live, vx8[b], 0.0)
         vy = jnp.where(live, vy8[b] - params.gravity * dt, 0.0)
@@ -144,25 +144,32 @@ def measure_phases(spec, params, frame_ms):
         predy = jnp.where(live, py8[b] + eps + vy * dt, SENTINEL)
         return predx, predy, vx, vy, b
 
-    def upto_rebin(i, acc):
-        predx, predy, vx, vy, b = predicted(i)
-        planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
-                                 interpret=interp, variant=5)
-        return acc + jnp.sum(planes[0][::32, ::32, 0])
+    def upto_rebin(base):
+        def body(i, acc):
+            predx, predy, vx, vy, b = predicted(i, base)
+            planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
+                                     interpret=interp, variant=5)
+            return acc + jnp.sum(planes[0][::32, ::32, 0])
+        return body
 
-    def upto_forces(i, acc):
-        predx, predy, vx, vy, b = predicted(i)
-        planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
-                                 interpret=interp, variant=5)
-        nvx, _ = _forces_from_cells(planes[0], planes[1], planes[2], planes[3],
-                                    spec, params, interp)
-        return acc + jnp.sum(nvx[::16, ::16, 0])
+    def upto_forces(base):
+        def body(i, acc):
+            predx, predy, vx, vy, b = predicted(i, base)
+            planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
+                                     interpret=interp, variant=5)
+            nvx, _ = _forces_from_cells(planes[0], planes[1], planes[2],
+                                        planes[3], spec, params, interp)
+            return acc + jnp.sum(nvx[::16, ::16, 0])
+        return body
 
-    def timed(body):
-        fn = jax.jit(lambda: jax.lax.fori_loop(0, R, body, jnp.float32(0)))
-        hsync(fn())
+    def timed(mk_body):
+        # The warm and timed calls take DIFFERENT seeds: this runtime can
+        # memoize identical-input executions (runtime/timing.py).
+        fn = jax.jit(lambda base: jax.lax.fori_loop(
+            0, R, mk_body(base), jnp.float32(0)))
+        hsync(fn(jnp.float32(0.0)))
         t0 = time.perf_counter()
-        hsync(fn())
+        hsync(fn(jnp.float32(0.0101)))
         return (time.perf_counter() - t0) / R * 1e3
 
     t_rebin = timed(upto_rebin)
@@ -335,9 +342,9 @@ def main() -> None:
     rlive = rs0.px < 0.5 * _SEN
 
     @jax.jit
-    def splatR(rpx, rpy, rvx, rvy):
+    def splatR(rpx, rpy, rvx, rvy, base):
         def one(i, acc):
-            eps = 0.003 * jnp.float32(i)
+            eps = 0.003 * jnp.float32(i) + base
             psr = _dc.replace(
                 rs0,
                 px=jnp.where(rlive, rpx + eps, _SEN),
@@ -349,9 +356,9 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
 
-    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy))
+    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
     t0 = time.perf_counter()
-    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy))
+    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
     render_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
     # Raw-positions -> image path (one sort + gather + plane build + rasterize),
@@ -364,9 +371,9 @@ def main() -> None:
     x0s, x1s, y0s, y1s = BOUNDS
 
     @jax.jit
-    def splatRraw(rpos, color):
+    def splatRraw(rpos, color, base):
         def one(i, acc):
-            eps = 0.003 * jnp.float32(i)
+            eps = 0.003 * jnp.float32(i) + base
             p = jnp.stack([jnp.clip(rpos[:, 0] + eps, x0s, x1s),
                            jnp.clip(rpos[:, 1] + eps, y0s, y1s)], axis=-1)
             img = render_state_planes(
@@ -377,9 +384,9 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
 
-    hsync(splatRraw(raw0.pos, raw0.color))
+    hsync(splatRraw(raw0.pos, raw0.color, jnp.float32(0.0)))
     t0 = time.perf_counter()
-    hsync(splatRraw(raw0.pos, raw0.color))
+    hsync(splatRraw(raw0.pos, raw0.color, jnp.float32(0.0101)))
     render_raw_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
     print(
