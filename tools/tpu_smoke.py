@@ -196,18 +196,22 @@ def smoke_rebin_v5_v6_exactness():
     from rust_particle_system_tpu.ops.pallas.rebin import rebin_planes
 
     rng = np.random.default_rng(1)
-    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
-                    capacity=16)
-    planes = _demo_planes(rng, spec, 16, 0.7, 1.3, k=5)
-    want, want_counts = oracle_rebin_v5(planes, spec)
-    got5, c5 = rebin_planes(planes, spec, variant=5, interpret=False)
-    got6, c6 = rebin_planes(planes, spec, variant=6, interpret=False)
-    for c in range(len(planes)):
-        np.testing.assert_array_equal(np.asarray(got5[c]), np.asarray(want[c]))
-        np.testing.assert_array_equal(np.asarray(got6[c]), np.asarray(got5[c]))
-    np.testing.assert_array_equal(np.asarray(c5), want_counts)
-    np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
-    return "v5 bit-exact vs oracle; v6 bit-identical to v5 on-chip"
+    for cap in (16, 64):  # logic width + production lane width (W2 = 128)
+        spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=7,
+                        capacity=cap)
+        planes = _demo_planes(rng, spec, cap, 0.7 if cap == 16 else 0.3, 1.3,
+                              k=5)
+        want, want_counts = oracle_rebin_v5(planes, spec)
+        got5, c5 = rebin_planes(planes, spec, variant=5, interpret=False)
+        got6, c6 = rebin_planes(planes, spec, variant=6, interpret=False)
+        for c in range(len(planes)):
+            np.testing.assert_array_equal(np.asarray(got5[c]),
+                                          np.asarray(want[c]))
+            np.testing.assert_array_equal(np.asarray(got6[c]),
+                                          np.asarray(got5[c]))
+        np.testing.assert_array_equal(np.asarray(c5), want_counts)
+        np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
+    return "v5 bit-exact vs oracle; v6 bit-identical to v5 on-chip (C=16, 64)"
 
 
 def smoke_plane_step_parity():
