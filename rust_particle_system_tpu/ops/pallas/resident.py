@@ -146,7 +146,8 @@ PlaneState.to_particle_state = to_particle_state
 
 
 def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
-                  interpret: bool | None = None, variant: int = 5):
+                  interpret: bool | None = None, variant: int = 5,
+                  fuse_tail: bool = False):
     """One live physics frame on plane state.  Returns the new PlaneState plus the
     end-of-frame planes dict for the fused renderer (same keys as
     sph_physics_pallas's ``want_planes``).
@@ -196,6 +197,23 @@ def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
         defer = nlive & ((kx != cellx) | (ky != celly))
         fpx = jnp.where(defer, SENTINEL, npx)
         fpy = jnp.where(defer, SENTINEL, npy)
+        if fuse_tail:
+            # Walk epilogue performs the whole tail in-kernel (velocity combine,
+            # defer restore, integrate, bounce, dead-slot park) — the XLA tail
+            # below never materializes (ops/pallas/sph.py::
+            # _force_finalize_integrated).  Bit-identical math, same order.
+            px2, py2, vx2, vy2 = _forces_from_cells(
+                fpx, fpy, nvx0, nvy0, spec, params, interpret,
+                integrate_planes=(npx, npy))
+            live2 = npx < 0.5 * SENTINEL
+            out = PlaneState(
+                px=px2, py=py2, vx=vx2, vy=vy2,
+                idsf=jnp.where(live2, nidsf, 0.0),
+                frame=ps.frame, lost=ps.lost + lost_now, n=ps.n,
+            )
+            planes = {"px": out.px, "py": out.py, "vx": out.vx, "vy": out.vy,
+                      "live": live2}
+            return out, planes
         nvx, nvy = _forces_from_cells(fpx, fpy, nvx0, nvy0, spec, params,
                                       interpret)
         # Walk outputs at sentinel-parked slots are garbage (self-term of a
@@ -230,13 +248,17 @@ def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
     return out, planes
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "interpret", "variant"))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "interpret", "variant",
+                                    "fuse_tail"))
 def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
-               interpret: bool | None = None, variant: int = 5) -> PlaneState:
+               interpret: bool | None = None, variant: int = 5,
+               fuse_tail: bool = False) -> PlaneState:
     """Warm-up-honoring full frame on plane-resident state."""
     stepped = jax.lax.cond(
         ps.frame >= params.shader_delay,
-        lambda s: plane_physics(s, params, spec, interpret, variant)[0],
+        lambda s: plane_physics(s, params, spec, interpret, variant,
+                                fuse_tail)[0],
         lambda s: s,
         ps,
     )

@@ -101,7 +101,8 @@ def _own_chunk(cp: int) -> int:
 
 
 def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
-                     n_out: int, tc: int, seg: int, finalize=None, n_dx: int = 3):
+                     n_out: int, tc: int, seg: int, finalize=None, n_dx: int = 3,
+                     finalize_on_empty: bool = False):
     """Build a kernel: one (grid row, column segment) per program.
 
     Inputs arrive as ``n_channels * 3`` halo slabs ``[1, 1, seg+2, CP]`` (each
@@ -162,7 +163,7 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
             # reductions (~1%), not the 3-5% chunk-predication tax.
             own_live = jnp.where(own_full[0] < 0.5 * _SENTINEL, 1.0, 0.0)
 
-            def chunk_work(sl):
+            def chunk_work(sl, with_pairs=True):
                 own = tuple(o[:, sl] for o in own_full)
                 accs = tuple(
                     jnp.zeros((tc, own[0].shape[-1]), jnp.float32)
@@ -171,13 +172,14 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                 # n_dx=3: dx in {0,1,2} = cells c-1,c,c+1.  n_dx=2 (pair-packed):
                 # the halo planes are B-units (cells 2p-1,2p at padded index p+1),
                 # so own pair p reads B[p], B[p+1] at window offsets {1, 2}.
-                for dy in range(3):
-                    for dx in range(3 - n_dx, 3):
-                        nbrs = tuple(
-                            ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
-                            for ch in range(n_channels)
-                        )
-                        accs = pair_update(scal_ref, own, nbrs, accs)
+                if with_pairs:
+                    for dy in range(3):
+                        for dx in range(3 - n_dx, 3):
+                            nbrs = tuple(
+                                ins[ch * 3 + dy][0, 0, pl.ds(c0 + dx, tc), :]
+                                for ch in range(n_channels)
+                            )
+                            accs = pair_update(scal_ref, own, nbrs, accs)
                 res = finalize(scal_ref, own, accs) if finalize else accs
                 for o, r in zip(outs, res):
                     o[0, 0, pl.ds(c0, tc), sl] = r
@@ -201,10 +203,17 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
 
                     @pl.when(jnp.logical_not(cond))
                     def _(sl=sl):
-                        zero = jnp.zeros(
-                            (tc, sl.stop - sl.start), jnp.float32)
-                        for o in outs:
-                            o[0, 0, pl.ds(c0, tc), sl] = zero
+                        if finalize_on_empty:
+                            # Integrated-epilogue walks: a gated chunk can hold
+                            # DEFERRED slots (walk positions sentinel-parked,
+                            # true positions live) — the epilogue must still
+                            # run for them (zero accs; pair loop skipped).
+                            chunk_work(sl, with_pairs=False)
+                        else:
+                            zero = jnp.zeros(
+                                (tc, sl.stop - sl.start), jnp.float32)
+                            for o in outs:
+                                o[0, 0, pl.ds(c0, tc), sl] = zero
             return 0
 
         # fori_loop beats static unrolling here (measured: unroll was ~8% slower
@@ -296,6 +305,46 @@ def _force_finalize(scal, own, accs):
     return fx, fy - mag_self, Sx - ovx * S, Sy - ovy * S
 
 
+def _force_finalize_integrated(scal, own, accs):
+    """:func:`_force_finalize` + the whole frame tail fused into the walk's
+    epilogue: velocity combine, deferred-slot restore, Euler integrate from the
+    predicted position, boundary bounce (core/kernels.py::bounce_bounds,
+    compute_shader.wgsl:69-99), dead-slot park.  Outputs the FINAL
+    (px, py, vx, vy) planes instead of raw force sums — the XLA tail that
+    previously materialized ~10 plane-sized arrays disappears.
+
+    Extra own-only channels (after NPo): ``npx, npy`` — the TRUE predicted
+    positions.  ``own[0/1]`` are the walk's pair positions, sentinel-parked at
+    deferred slots; a slot is deferred iff own[0] is sentinel while npx is live.
+    Extra scalars: (dt, vscale, x_min, x_max, y_min, y_max, damping)."""
+    fx, fy, fvx, fvy = _force_finalize(scal, own, accs)
+    dt, vscale = scal[2], scal[3]
+    x_min, x_max, y_min, y_max = scal[4], scal[5], scal[6], scal[7]
+    damp = scal[8]
+    ovx, ovy = own[4], own[5]
+    onpx, onpy = own[7], own[8]
+    nvx = ovx + fx * dt + fvx * vscale
+    nvy = ovy + fy * dt + fvy * vscale
+    defer = (own[0] >= 0.5 * _SENTINEL) & (onpx < 0.5 * _SENTINEL)
+    nvx = jnp.where(defer, ovx, nvx)
+    nvy = jnp.where(defer, ovy, nvy)
+    px2 = onpx + (nvx - ovx) * dt
+    py2 = onpy + (nvy - ovy) * dt
+    nvx = jnp.where(px2 <= x_min, jnp.abs(nvx) * damp, nvx)
+    nvx = jnp.where(px2 >= x_max, -jnp.abs(nvx) * damp, nvx)
+    px2 = jnp.clip(px2, x_min, x_max)
+    nvy = jnp.where(py2 <= y_min, jnp.abs(nvy) * damp, nvy)
+    nvy = jnp.where(py2 >= y_max, -jnp.abs(nvy) * damp, nvy)
+    py2 = jnp.clip(py2, y_min, y_max)
+    live2 = onpx < 0.5 * _SENTINEL
+    return (
+        jnp.where(live2, px2, _SENTINEL),
+        jnp.where(live2, py2, _SENTINEL),
+        jnp.where(live2, nvx, 0.0),
+        jnp.where(live2, nvy, 0.0),
+    )
+
+
 def pressure_terms(rho, rhon, params):
     """Per-slot pressure terms, pre-scaled by the pair-loop scalars:
     (α·p/ρ², β·np/ρ², β·np/(ρ·ρnear)), guarded for empties.
@@ -329,6 +378,20 @@ def force_scalars(params):
             jnp.float32(_EPS_DIST) ** 2,
         ]
     ).astype(jnp.float32)
+
+
+def force_scalars_integrated(params):
+    """force_scalars + (dt, vscale, bounds, damping) for the fused epilogue."""
+    dt = params.dt
+    return jnp.concatenate(
+        [
+            force_scalars(params),
+            jnp.stack([dt, params.viscosity_kernel_norm
+                       * params.viscosity_strength * dt]).astype(jnp.float32),
+            jnp.asarray(params.bounds, jnp.float32).reshape(4),
+            jnp.stack([params.damping_factor]).astype(jnp.float32),
+        ]
+    )
 
 
 # --------------------------------------------------------------------------------------
@@ -415,7 +478,7 @@ def unpack_pairs(x, gw, C):
 
 
 def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
-                interpret, finalize=None, n_dx=3):
+                interpret, finalize=None, n_dx=3, finalize_on_empty=False):
     """Shared pallas_call over width-segmented planes.
 
     Each padded halo plane [gh+2, wt+2, CP] is re-laid out as
@@ -427,7 +490,8 @@ def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
     seg = _seg_width(wt, tc)
     nseg = wt // seg
     kernel = _make_seg_kernel(update, len(planes), len(own_planes), n_acc, n_out,
-                              tc, seg, finalize, n_dx=n_dx)
+                              tc, seg, finalize, n_dx=n_dx,
+                              finalize_on_empty=finalize_on_empty)
 
     def segmented(p):
         return jnp.stack(
@@ -525,6 +589,27 @@ def force_planes(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
                              list(own_planes), 5, 4, rows, wt, cp, tc, interpret,
                              finalize=_force_finalize, n_dx=n_dx)
     args[0] = force_scalars(params)
+    return call(*args)
+
+
+def force_planes_integrated(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
+                            interpret: bool, n_dx=3):
+    """:func:`force_planes` with the frame tail fused into the epilogue.
+
+    ``own_planes`` must END with ``(npx, npy)`` — the true predicted positions —
+    after the layout's usual own channels (see
+    :func:`_force_finalize_integrated`).  Returns the FINAL
+    (px, py, vx, vy) planes [rows, wt, CP]; dead slots sentinel/zero-parked,
+    deferred slots restored to their post-gravity velocity at their predicted
+    position (bounced)."""
+    rows = ppx.shape[0] - 2
+    wt, cp = ppx.shape[1] - 2, ppx.shape[2]
+    tc = _tile_cells(cp)
+    call, args = _plane_call(_force_update, [ppx, ppy, pP1, pNPn, pvx, pvy],
+                             list(own_planes), 5, 4, rows, wt, cp, tc, interpret,
+                             finalize=_force_finalize_integrated, n_dx=n_dx,
+                             finalize_on_empty=True)
+    args[0] = force_scalars_integrated(params)
     return call(*args)
 
 

@@ -26,13 +26,15 @@ from .sph import (
     _pack_b,
     density_planes,
     force_planes,
+    force_planes_integrated,
     plane_geometry,
     pressure_terms,
     unpack_pairs,
 )
 
 
-def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret, halo=None):
+def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret, halo=None,
+                       integrate_planes=None):
     """Run the two Pallas walks on [gh, gw, C] channel planes.
 
     Returns post-force velocity planes (nvx, nvy) [gh, gw, C].  Dispatches on
@@ -44,10 +46,17 @@ def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret, halo=None):
     lo/hi [gw, C] — the ghost cell-rows adjacent to this slab (row below row 0 /
     row above row rows−1).  The band-sharded step passes a ppermute closure here
     (parallel/plane_sharded.py) so the multi-chip path runs THESE EXACT kernels;
-    None (single-chip) fills ghosts with the channel fill."""
+    None (single-chip) fills ghosts with the channel fill.
+
+    ``integrate_planes``: optional ``(npx, npy)`` TRUE predicted-position planes.
+    When given, the force walk's epilogue also performs the frame tail (velocity
+    combine, deferred-slot restore, integrate, bounce, dead-slot park — see
+    ops/pallas/sph.py::_force_finalize_integrated) and the return value becomes
+    the FINAL ``(px, py, vx, vy)`` planes."""
     gh, gw, C = pxg.shape
     dt = params.dt
     vscale = params.viscosity_kernel_norm * params.viscosity_strength * dt
+    integ = integrate_planes is not None
 
     if not spec.pack2:
         cp, tc, wt = plane_geometry(gw, C)
@@ -68,11 +77,17 @@ def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret, halo=None):
 
         rho, rhon = density_planes(ppx, ppy, params, interpret)
         P1, NPo, NPn = pressure_terms(rho, rhon, params)
-        fx, fy, fvx, fvy = force_planes(
+        fargs = (
             ppx, ppy, grown(P1[:, :gw, :C], 0.0), grown(NPn[:, :gw, :C], 0.0),
-            grown(vxg, 0.0), grown(vyg, 0.0), [NPo],
-            params, interpret,
+            grown(vxg, 0.0), grown(vyg, 0.0),
         )
+        if integ:
+            npxw = _own_plane(integrate_planes[0], gh, gw, wt, _SENTINEL, cp)
+            npyw = _own_plane(integrate_planes[1], gh, gw, wt, _SENTINEL, cp)
+            outs = force_planes_integrated(
+                *fargs, [NPo, npxw, npyw], params, interpret)
+            return tuple(o[:, :gw, :C] for o in outs)
+        fx, fy, fvx, fvy = force_planes(*fargs, [NPo], params, interpret)
         nvx = vxw + fx * dt + fvx * vscale
         nvy = vyw + fy * dt + fvy * vscale
         return nvx[:, :gw, :C], nvy[:, :gw, :C]
@@ -117,10 +132,20 @@ def _forces_from_cells(pxg, pyg, vxg, vyg, spec, params, interpret, halo=None):
     # shifted copy each.
     P1u = unpack_pairs(P1, gw, C)
     NPnu = unpack_pairs(NPn, gw, C)
-    fx, fy, fvx, fvy = force_planes(
+    fargs = (
         bpx, bpy, bplane(P1u, 0.0), bplane(NPnu, 0.0),
         bplane(vxg, 0.0), bplane(vyg, 0.0),
-        [apx, apy, P1, NPn, avx, avy, NPo],
+    )
+    if integ:
+        anpx = aplane(integrate_planes[0], _SENTINEL)
+        anpy = aplane(integrate_planes[1], _SENTINEL)
+        outs = force_planes_integrated(
+            *fargs, [apx, apy, P1, NPn, avx, avy, NPo, anpx, anpy],
+            params, interpret, n_dx=2,
+        )
+        return tuple(unpack_pairs(o, gw, C) for o in outs)
+    fx, fy, fvx, fvy = force_planes(
+        *fargs, [apx, apy, P1, NPn, avx, avy, NPo],
         params, interpret, n_dx=2,
     )
     nvx = avx + fx * dt + fvx * vscale

@@ -534,3 +534,53 @@ def test_rebin_v6_bit_identical_to_v5(rng, drift):
     for c in range(len(planes)):
         np.testing.assert_array_equal(np.asarray(a6[c]), np.asarray(a5[c]))
     np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
+
+
+@pytest.mark.parametrize("variant", [5, 6])
+def test_plane_step_fused_tail_matches_xla_tail(variant):
+    """fuse_tail=True (integrate/bounce/defer-restore in the walk epilogue) must
+    reproduce the XLA tail to FMA-rounding tolerance (the two compilation
+    contexts fuse the same expressions differently — measured 1-ulp drift),
+    with identity conservation exact."""
+    params, spec, state = _mini_setup(n=700, capacity=16)
+    params = params._replace(shader_delay=jnp.asarray(0, jnp.int32),
+                             gravity=jnp.float32(600.0))
+    a = plane_state_from_particles(state, spec)
+    b = a
+    for _ in range(6):
+        a = plane_step(a, params, spec, variant=variant, fuse_tail=False)
+        b = plane_step(b, params, spec, variant=variant, fuse_tail=True)
+    assert int(b.lost) == int(a.lost)
+    la, lb = np.asarray(a.live), np.asarray(b.live)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(a.idsf)[la]), np.sort(np.asarray(b.idsf)[lb]))
+    sa = to_particle_state(a, params)
+    sb = to_particle_state(b, params)
+    oa = np.argsort(np.asarray(sa.ids))
+    ob = np.argsort(np.asarray(sb.ids))
+    np.testing.assert_allclose(np.asarray(sb.pos)[ob], np.asarray(sa.pos)[oa],
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sb.vel)[ob], np.asarray(sa.vel)[oa],
+                               rtol=0, atol=1e-3)
+
+
+def test_plane_step_fused_tail_handles_deferred_chunks():
+    """A state where EVERY live slot is deferred (all movers, full dest cells):
+    the occupancy-gated empty-chunk path must still run the epilogue — deferred
+    particles keep their predicted position + post-gravity velocity (bounced),
+    and none vanish."""
+    params, spec, state = _mini_setup(n=256, capacity=16)
+    params = params._replace(shader_delay=jnp.asarray(0, jnp.int32))
+    ps = plane_state_from_particles(state, spec)
+    fast = dataclasses.replace(
+        ps,
+        vx=jnp.where(ps.live, 3.0 * spec.cell_width / float(params.dt), 0.0),
+        frame=jnp.asarray(10, jnp.int32),
+    )
+    live_before = int(np.asarray(ps.live).sum())
+    a = plane_step(fast, params, spec, fuse_tail=False)
+    b = plane_step(fast, params, spec, fuse_tail=True)
+    assert int(np.asarray(b.live).sum()) == live_before
+    for f in ("px", "py", "vx", "vy", "idsf"):
+        np.testing.assert_array_equal(np.asarray(getattr(b, f)),
+                                      np.asarray(getattr(a, f)), err_msg=f)
