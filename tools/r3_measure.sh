@@ -16,6 +16,7 @@ run() {
 }
 
 run smoke      python tools/tpu_smoke.py
+run variants   python protos/time_plane_variants.py 30
 run rebin_v5v6 python protos/time_rebin_v5split.py 64 1.3 8,128 32
 run splat_tcs  python protos/time_splat5.py 64
 run splat4     python protos/time_splat4.py 64
