@@ -118,8 +118,12 @@ def native_sph_step(pos, vel, params):
     pos/vel: [n, 2] float32 arrays (copied).  Returns (pos, vel, color) float32.
     """
     lib = _load()
-    pos = np.ascontiguousarray(np.asarray(pos, np.float32))
-    vel = np.ascontiguousarray(np.asarray(vel, np.float32))
+    # np.array(copy=True): the engine steps pos/vel IN PLACE, and
+    # ascontiguousarray would alias an already-contiguous f32 input — the
+    # caller's arrays must never be mutated (found as a test-oracle corruption:
+    # downstream consumers of the same arrays saw the stepped state).
+    pos = np.array(pos, np.float32, order="C", copy=True)
+    vel = np.array(vel, np.float32, order="C", copy=True)
     n = pos.shape[0]
     color = np.zeros((n, 4), np.float32)
     p = _params_struct(params)
