@@ -268,17 +268,18 @@ def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "render_spec", "bounds_static", "interpret",
-                     "variant", "patch_margin"),
+                     "variant", "patch_margin", "fuse_tail"),
 )
 def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
                 bounds_static: tuple, interpret: bool | None = None,
-                variant: int = 5, patch_margin: int | None = None):
+                variant: int = 5, patch_margin: int | None = None,
+                fuse_tail: bool = False):
     """Fused step + render from plane-resident state: physics AND image with ZERO
     binning work — the planes go straight into the MXU patch rasterizer."""
     from ...render.splat_planes import splat_from_planes
 
     def live_frame(s):
-        return plane_physics(s, params, spec, interpret, variant)
+        return plane_physics(s, params, spec, interpret, variant, fuse_tail)
 
     def frozen_frame(s):
         return s, {"px": s.px, "py": s.py, "vx": s.vx, "vy": s.vy,
