@@ -246,6 +246,30 @@ def main() -> None:
     sph_rate = FRAMES * N / sph_elapsed
     lost_stepping = int(ps.lost) - lost_init  # lossless contract: must be 0
 
+    # Round-3 pipeline candidates, measured opportunistically (guarded: these
+    # paths are validated in interpret mode and by the on-chip smoke harness,
+    # but if Mosaic rejects one at production width the headline must survive):
+    # rebin variant 6 (row-fused single kernel) and the fused in-kernel frame
+    # tail.  Defaults stay v5 + XLA tail until these rows prove faster.
+    candidates = {}
+    for label, v, ft in (("v6", 6, False), ("v5_fused_tail", 5, True),
+                         ("v6_fused_tail", 6, True)):
+        _progress(f"candidate {label}...")
+        try:
+            stepc = jax.jit(
+                lambda s, v=v, ft=ft: plane_step(s, params, spec, variant=v,
+                                                 fuse_tail=ft),
+                donate_argnums=0)
+            psc = plane_state_from_particles(
+                uniform_init(jax.random.key(9), N, BOUNDS).with_ids(), spec)
+            lc0 = int(psc.lost)
+            psc = stepc(stepc(psc))
+            perc, psc = time_chained(stepc, psc, max(FRAMES // 2, 2))
+            candidates[f"sph_ms_per_frame_{label}"] = round(perc * 1e3, 2)
+            candidates[f"lost_{label}"] = int(psc.lost) - lc0
+        except Exception as e:  # noqa: BLE001 — record, never break the headline
+            candidates[f"sph_ms_per_frame_{label}"] = f"failed: {type(e).__name__}"
+
     # Pair-work efficiency (VERDICT r1 #2): issued slot-pairs per walk vs pairs
     # actually within the smoothing radius.
     _progress("pair_efficiency...")
@@ -413,6 +437,7 @@ def main() -> None:
                 "pairs_useful_per_walk": useful,
                 "pair_waste_ratio": round(issued / max(useful, 1), 2),
                 "phases": phases,
+                **candidates,
                 "backend": "pallas_plane_resident_pack2",
                 "device": str(jax.devices()[0]),
             }
