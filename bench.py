@@ -385,6 +385,33 @@ def main() -> None:
     hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
     render_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
+    # Candidate: placement sub-tile 32 (half the in-kernel placement dot count
+    # at the 1080p sim-grid geometry — protos/time_splat5.py).  Guarded; the
+    # default _TCS=16 stands until this row proves faster.
+    _progress("splat candidate tcs=32...")
+    try:
+        import rust_particle_system_tpu.render.splat_planes as _sp
+
+        _sp._TCS = 32
+        # _TCS is read at trace time: every jit layer above the kernel must
+        # retrace (nested jits inline into the outer executable).
+        splatR.clear_cache()
+        render_plane_state.clear_cache()
+        _sp.splat_from_planes.clear_cache()
+        hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
+        render_tcs32_ms = round((time.perf_counter() - t0) / R_INJIT * 1e3, 3)
+    except Exception as e:  # noqa: BLE001
+        render_tcs32_ms = f"failed: {type(e).__name__}"
+    finally:
+        import rust_particle_system_tpu.render.splat_planes as _sp
+
+        _sp._TCS = 16
+        splatR.clear_cache()
+        render_plane_state.clear_cache()
+        _sp.splat_from_planes.clear_cache()
+
     # Raw-positions -> image path (one sort + gather + plane build + rasterize),
     # for users whose positions do NOT already live in planes.
     from rust_particle_system_tpu.core.state import make_state
@@ -432,6 +459,7 @@ def main() -> None:
                 "fused_frame_tight_patch_ms": round(fused_margin3_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
+                "splat_1080p_ms_tcs32": render_tcs32_ms,
                 "splat_1080p_raw_ms": round(render_raw_ms, 3),
                 "pairs_issued_per_walk": issued,
                 "pairs_useful_per_walk": useful,
