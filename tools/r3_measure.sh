@@ -6,6 +6,7 @@ set -u
 OUT=${1:-/tmp/r3_measure}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   name=$1; shift
