@@ -148,7 +148,7 @@ def measure_phases(spec, params, frame_ms):
         def body(i, acc):
             predx, predy, vx, vy, b = predicted(i, base)
             planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
-                                     interpret=interp, variant=5)
+                                     interpret=interp, variant=6)
             return acc + jnp.sum(planes[0][::32, ::32, 0])
         return body
 
@@ -156,7 +156,7 @@ def measure_phases(spec, params, frame_ms):
         def body(i, acc):
             predx, predy, vx, vy, b = predicted(i, base)
             planes, _ = rebin_planes([predx, predy, vx, vy, id8[b]], spec,
-                                     interpret=interp, variant=5)
+                                     interpret=interp, variant=6)
             nvx, _ = _forces_from_cells(planes[0], planes[1], planes[2],
                                         planes[3], spec, params, interp)
             return acc + jnp.sum(nvx[::16, ::16, 0])
@@ -246,14 +246,12 @@ def main() -> None:
     sph_rate = FRAMES * N / sph_elapsed
     lost_stepping = int(ps.lost) - lost_init  # lossless contract: must be 0
 
-    # Round-3 pipeline candidates, measured opportunistically (guarded: these
-    # paths are validated in interpret mode and by the on-chip smoke harness,
-    # but if Mosaic rejects one at production width the headline must survive):
-    # rebin variant 6 (row-fused single kernel) and the fused in-kernel frame
-    # tail.  Defaults stay v5 + XLA tail until these rows prove faster.
+    # Pipeline fallback rows (guarded): the production default is now rebin v6
+    # + the fused in-kernel frame tail (measured fastest on-chip: 36.81 ms vs
+    # v5+XLA-tail 37.83 at 1M — protos/time_plane_variants.py); these rows keep
+    # the alternatives honest each round.
     candidates = {}
-    for label, v, ft in (("v6", 6, False), ("v5_fused_tail", 5, True),
-                         ("v6_fused_tail", 6, True)):
+    for label, v, ft in (("v5_xla_tail", 5, False), ("v6_xla_tail", 6, False)):
         _progress(f"candidate {label}...")
         try:
             stepc = jax.jit(
@@ -385,14 +383,13 @@ def main() -> None:
     hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
     render_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
-    # Candidate: placement sub-tile 32 (half the in-kernel placement dot count
-    # at the 1080p sim-grid geometry — protos/time_splat5.py).  Guarded; the
-    # default _TCS=16 stands until this row proves faster.
-    _progress("splat candidate tcs=32...")
+    # Fallback row: placement sub-tile 16 (the pre-round-3 default; the on-chip
+    # sweep put 32 ahead, 9.17 vs 9.76 ms — protos/time_splat5.py).
+    _progress("splat fallback tcs=16...")
     try:
         import rust_particle_system_tpu.render.splat_planes as _sp
 
-        _sp._TCS = 32
+        _sp._TCS = 16
         # _TCS is read at trace time: every jit layer above the kernel must
         # retrace (nested jits inline into the outer executable).
         splatR.clear_cache()
@@ -401,13 +398,13 @@ def main() -> None:
         hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
         t0 = time.perf_counter()
         hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
-        render_tcs32_ms = round((time.perf_counter() - t0) / R_INJIT * 1e3, 3)
+        render_tcs16_ms = round((time.perf_counter() - t0) / R_INJIT * 1e3, 3)
     except Exception as e:  # noqa: BLE001
-        render_tcs32_ms = f"failed: {type(e).__name__}"
+        render_tcs16_ms = f"failed: {type(e).__name__}"
     finally:
         import rust_particle_system_tpu.render.splat_planes as _sp
 
-        _sp._TCS = 16
+        _sp._TCS = 32
         splatR.clear_cache()
         render_plane_state.clear_cache()
         _sp.splat_from_planes.clear_cache()
@@ -459,7 +456,7 @@ def main() -> None:
                 "fused_frame_tight_patch_ms": round(fused_margin3_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
-                "splat_1080p_ms_tcs32": render_tcs32_ms,
+                "splat_1080p_ms_tcs16": render_tcs16_ms,
                 "splat_1080p_raw_ms": round(render_raw_ms, 3),
                 "pairs_issued_per_walk": issued,
                 "pairs_useful_per_walk": useful,

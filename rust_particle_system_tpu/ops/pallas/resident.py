@@ -11,7 +11,9 @@ cell.  The render needs no binning at all: the planes feed the MXU patch rasteri
 
 Semantics match the bulk-synchronous spec of ops/grid_step.py / sph_step.py (the
 reference's five GPU dispatches, src/particle_compute.rs:91-195).  The default
-rebin (variant 5, ops/pallas/rebin.py) is LOSSLESS: a mover that finds no free
+rebin (variant 6 — the row-fused kernel, bit-identical to variant 5 and measured
+faster on-chip: 7.12 vs 7.87 ms at 1M; the band-sharded path drives the v5
+passes directly) is LOSSLESS: a mover that finds no free
 slot in its destination cell, or that moved more than one cell in a frame, is
 RETAINED in its current slot and merely deferred from the force walk for the
 frame — the stream path's capacity-overflow contract (overflow particles
@@ -146,13 +148,13 @@ PlaneState.to_particle_state = to_particle_state
 
 
 def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
-                  interpret: bool | None = None, variant: int = 5,
-                  fuse_tail: bool = False):
+                  interpret: bool | None = None, variant: int = 6,
+                  fuse_tail: bool = True):
     """One live physics frame on plane state.  Returns the new PlaneState plus the
     end-of-frame planes dict for the fused renderer (same keys as
     sph_physics_pallas's ``want_planes``).
 
-    The default rebin (variant 5) is LOSSLESS: movers that find no free slot in
+    The default rebin (variant 6; bit-identical to 5) is LOSSLESS: movers that find no free slot in
     their destination cell, and >1-cell/frame movers in transit, are retained in
     their current slot and DEFERRED — parked out of the force walk for the frame
     (gravity + integrate + bounce only), exactly the stream path's
@@ -252,8 +254,8 @@ def plane_physics(ps: PlaneState, params: SimParams, spec: GridSpec,
                    static_argnames=("spec", "interpret", "variant",
                                     "fuse_tail"))
 def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
-               interpret: bool | None = None, variant: int = 5,
-               fuse_tail: bool = False) -> PlaneState:
+               interpret: bool | None = None, variant: int = 6,
+               fuse_tail: bool = True) -> PlaneState:
     """Warm-up-honoring full frame on plane-resident state."""
     stepped = jax.lax.cond(
         ps.frame >= params.shader_delay,
@@ -272,8 +274,8 @@ def plane_step(ps: PlaneState, params: SimParams, spec: GridSpec,
 )
 def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
                 bounds_static: tuple, interpret: bool | None = None,
-                variant: int = 5, patch_margin: int | None = None,
-                fuse_tail: bool = False):
+                variant: int = 6, patch_margin: int | None = None,
+                fuse_tail: bool = True):
     """Fused step + render from plane-resident state: physics AND image with ZERO
     binning work — the planes go straight into the MXU patch rasterizer."""
     from ...render.splat_planes import splat_from_planes

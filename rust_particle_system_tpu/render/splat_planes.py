@@ -51,7 +51,9 @@ from .splat_jax import RenderSpec, splat_resolve
 
 MARGIN = 4
 _FAR = 1.0e6
-_TCS = 16  # cells per in-kernel sub-tile (placement matmul granularity)
+_TCS = 32  # cells per in-kernel sub-tile (placement matmul granularity; on-chip
+#            sweep at the 1080p sim-grid geometry: 16 -> 9.76 ms, 32 -> 9.17,
+#            64 -> 11.20 — protos/time_splat5.py)
 
 
 def _round_up(x, m):
