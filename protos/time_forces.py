@@ -22,8 +22,10 @@ pack2 = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
 C = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 FRAC = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0  # occupancy override
+DEFER = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 sphmod.TC_OVERRIDE = TC
 sphmod.CHUNK_OVERRIDE = CHUNK
+sphmod.DEFER_REDUCE = DEFER
 
 BOUNDS = (-960.0, 960.0, -540.0, 540.0)
 spec = GridSpec.from_bounds(BOUNDS, 9.0, capacity=C, pack2=pack2)
@@ -58,17 +60,17 @@ t0 = time.perf_counter()
 hsync(fn(px, py, vx, vy))
 print(f"compile+first: {time.perf_counter() - t0:.1f} s", flush=True)
 
-R = 6
-vx8 = jnp.stack([vx + 0.001 * i for i in range(R)])
-loop = jax.jit(lambda vx8: jax.lax.fori_loop(
+R = 32  # large in-jit R: the fixed ~26 ms dispatch round-trip must amortize
+loop = jax.jit(lambda seed: jax.lax.fori_loop(
     0, R,
     lambda i, acc: acc + jnp.sum(
-        _forces_from_cells(px, py, vx8[i], vy, spec, params, False)[0]
+        _forces_from_cells(px, py, vx + 1e-4 * (seed + jnp.float32(i)), vy,
+                           spec, params, False)[0]
         [::16, ::16, 0]),
     jnp.float32(0)))
-hsync(loop(vx8))
+hsync(loop(jnp.float32(0.0)))  # warm; timed call takes a DIFFERENT traced seed
 t0 = time.perf_counter()
-hsync(loop(vx8))
+hsync(loop(jnp.float32(7.0)))
 per = (time.perf_counter() - t0) / R * 1e3
 print(f"force walks (density + fused P+V): {per:.2f} ms "
       f"(r2 phase baseline 28.4)", flush=True)

@@ -93,6 +93,17 @@ def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
 
 CHUNK_OVERRIDE = 0  # nonzero: force the own-slot gating chunk width (experiments)
 
+# Defer the cross-lane accumulator reductions to once per walk.  The pair bodies
+# historically reduced every accumulator over the 128 neighbor lanes at EVERY
+# 3x3 offset (jnp.sum(axis=-1) per quantity per offset = 30 lane-reductions per
+# force walk, each a log2(128) shuffle-add chain on the VPU).  With this flag the
+# accumulators stay full [TC, chunk, CP] tiles — offsets fold in with plain adds —
+# and one reduction per quantity runs after the offset loop.  Costs ~5 extra
+# live tiles of VMEM.  Measured on-chip (protos/time_forces.py, R=32 varied-seed
+# protocol, 1M/pack2/C=64): two-walk time 23.12 -> 19.77 ms (-14.5%); results
+# match the undeferred walks to float-reorder level (1.3e-5 at small shapes).
+DEFER_REDUCE = True
+
 
 def _own_chunk(cp: int) -> int:
     """Own-slot occupancy-gating chunk width (see the gating note in
@@ -165,9 +176,13 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
 
             def chunk_work(sl, with_pairs=True):
                 own = tuple(o[:, sl] for o in own_full)
+                acc_shape = (
+                    (tc, own[0].shape[-1], ins[0].shape[-1])
+                    if DEFER_REDUCE and n_channels
+                    else (tc, own[0].shape[-1])
+                )
                 accs = tuple(
-                    jnp.zeros((tc, own[0].shape[-1]), jnp.float32)
-                    for _ in range(n_acc)
+                    jnp.zeros(acc_shape, jnp.float32) for _ in range(n_acc)
                 )
                 # n_dx=3: dx in {0,1,2} = cells c-1,c,c+1.  n_dx=2 (pair-packed):
                 # the halo planes are B-units (cells 2p-1,2p at padded index p+1),
@@ -180,6 +195,8 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                                 for ch in range(n_channels)
                             )
                             accs = pair_update(scal_ref, own, nbrs, accs)
+                if len(accs) and accs[0].ndim == 3:
+                    accs = tuple(jnp.sum(a, axis=-1) for a in accs)
                 res = finalize(scal_ref, own, accs) if finalize else accs
                 for o, r in zip(outs, res):
                     o[0, 0, pl.ds(c0, tc), sl] = r
@@ -240,6 +257,8 @@ def _density_update(scal, own, nbrs, accs):
     v = jnp.maximum(h - d, 0.0)
     vv = v * v
     s2, s3 = accs
+    if s2.ndim == 3:  # DEFER_REDUCE: fold elementwise, reduce once per walk
+        return s2 + vv, s3 + vv * v
     return s2 + jnp.sum(vv, axis=-1), s3 + jnp.sum(vv * v, axis=-1)
 
 
@@ -281,6 +300,13 @@ def _force_update(scal, own, nbrs, accs):
     u3 = u * u * u
 
     fx, fy, S, Sx, Sy = accs
+    if fx.ndim == 3:  # DEFER_REDUCE: fold elementwise, reduce once per walk
+        fx = fx + dx * m
+        fy = fy + dy * m + jnp.where(near0, mag, 0.0)
+        S = S + u3
+        Sx = Sx + nvx[:, None, :] * u3
+        Sy = Sy + nvy[:, None, :] * u3
+        return fx, fy, S, Sx, Sy
     fx = fx + jnp.sum(dx * m, axis=-1)
     fy = fy + jnp.sum(dy * m + jnp.where(near0, mag, 0.0), axis=-1)
     S = S + jnp.sum(u3, axis=-1)
