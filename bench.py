@@ -383,28 +383,31 @@ def main() -> None:
     hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
     render_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
 
-    # Fallback row: placement sub-tile 16 (the pre-round-3 default; the on-chip
-    # sweep put 32 ahead, 9.17 vs 9.76 ms — protos/time_splat5.py).
-    _progress("splat fallback tcs=16...")
+    # Fallback row: the v1 spread/fold strip kernel (pre-v2 production path;
+    # v2 keeps the patch-row index on sublanes and routes cells to lane
+    # segments with one-hot dots — protos/time_splat6.py).  v2 only engages at
+    # geometries it fits (patch <= 32 px, group span <= 128 cols), so v1 stays
+    # the fallback and this row tracks its cost.
+    _progress("splat fallback v1 kernel...")
     try:
         import rust_particle_system_tpu.render.splat_planes as _sp
 
-        _sp._TCS = 16
-        # _TCS is read at trace time: every jit layer above the kernel must
-        # retrace (nested jits inline into the outer executable).
+        _sp._KERNEL_V2 = False
+        # read at trace time: every jit layer above the kernel must retrace
+        # (nested jits inline into the outer executable).
         splatR.clear_cache()
         render_plane_state.clear_cache()
         _sp.splat_from_planes.clear_cache()
         hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
         t0 = time.perf_counter()
         hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
-        render_tcs16_ms = round((time.perf_counter() - t0) / R_INJIT * 1e3, 3)
+        render_v1_ms = round((time.perf_counter() - t0) / R_INJIT * 1e3, 3)
     except Exception as e:  # noqa: BLE001
-        render_tcs16_ms = f"failed: {type(e).__name__}"
+        render_v1_ms = f"failed: {type(e).__name__}"
     finally:
         import rust_particle_system_tpu.render.splat_planes as _sp
 
-        _sp._TCS = 32
+        _sp._KERNEL_V2 = True
         splatR.clear_cache()
         render_plane_state.clear_cache()
         _sp.splat_from_planes.clear_cache()
@@ -456,7 +459,7 @@ def main() -> None:
                 "fused_frame_tight_patch_ms": round(fused_margin3_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
-                "splat_1080p_ms_tcs16": render_tcs16_ms,
+                "splat_1080p_ms_v1_kernel": render_v1_ms,
                 "splat_1080p_raw_ms": round(render_raw_ms, 3),
                 "pairs_issued_per_walk": issued,
                 "pairs_useful_per_walk": useful,

@@ -114,11 +114,18 @@ def build(stage: str, tcs: int):
                 tt = jnp.clip((dist - 0.8 * radius) * inv_w, 0.0, 1.0)
                 alpha = 1.0 - tt * tt * (3.0 - 2.0 * tt)
                 alpha = jnp.where(alpha < 0.01, 0.0, alpha)
+                def sink(slot, val2d):
+                    # 2-D RMW accumulate (rank-1 stores crash Mosaic's layout
+                    # inference on this toolchain)
+                    rr_ = val2d.shape[0]
+                    cur = q_ref[slot, 0, 0:rr_, 0:128]
+                    q_ref[slot, 0, 0:rr_, 0:128] = cur + val2d
+
                 if stage == "pair":
                     # consume alpha + cols without any dot
-                    v = jnp.sum(alpha, axis=1) + jnp.sum(cols, axis=(1, 2))[:, None]
-                    q_ref[0, 0, 0, t * tcs : (t + 1) * tcs] = (
-                        q_ref[0, 0, 0, t * tcs : (t + 1) * tcs] + jnp.sum(v, axis=-1))
+                    v = (jnp.sum(alpha, axis=(0, 1))[None, :]
+                         + jnp.sum(cols) * jnp.ones((1, lanes), jnp.float32))
+                    sink(0, v.reshape(lanes // 128, 128)[:8])
                     return
                 if stage == "accbd":
                     cols2 = cols.reshape(4 * tcs, C)  # (t,c) rows
@@ -128,24 +135,22 @@ def build(stage: str, tcs: int):
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=HI)
                     # accb[(t,c), l] == acc[t, c, l]
-                    v = jnp.sum(accb, axis=-1)
-                    q_ref[0, 0, 1, t * tcs : (t + 1) * tcs] = (
-                        q_ref[0, 0, 1, t * tcs : (t + 1) * tcs]
-                        + v[0::4] + v[1::4] + v[2::4] + v[3::4])
+                    sink(1, jnp.sum(accb.reshape(4 * tcs, lanes // 128, 128),
+                                    axis=0)[:8])
                     return
                 acc = jax.lax.dot_general(
                     cols, alpha, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32, precision=HI)
                 if stage == "acc":
-                    v = jnp.sum(acc, axis=(0, 1))
-                    q_ref[0, 0, 2, :lanes] = q_ref[0, 0, 2, :lanes] + v
+                    sink(2, jnp.sum(acc.reshape(4 * tcs, lanes // 128, 128),
+                                    axis=0)[:8])
                     return
                 y = jax.lax.dot_general(
                     acc, e1_ref[...], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=HI)
                 if stage == "spread":
-                    v = jnp.sum(y, axis=(0, 1))
-                    q_ref[0, 0, 3, :K] = q_ref[0, 0, 3, :K] + v
+                    sink(3, jnp.sum(y.reshape(4 * lanes, K // 128, 128),
+                                    axis=0)[:8])
                     return
                 z = (y * mj_ref[...][None]).reshape(
                     4, lanes // rowpad, rowpad, K)
@@ -156,8 +161,8 @@ def build(stage: str, tcs: int):
                         [zi, jnp.zeros((4, PH_PAD - r0, K), jnp.float32)],
                         axis=1)
                 if stage == "fold":
-                    v = jnp.sum(zi, axis=(0, 1))
-                    q_ref[0, 0, 4, :K] = q_ref[0, 0, 4, :K] + v
+                    sink(0, jnp.sum(zi.reshape(4 * PH_PAD, K // 128, 128),
+                                    axis=0))
                     return
                 strip = jax.lax.dot_general(
                     zi[:, :PH_PAD, :], p_ref[...], (((2,), (0,)), ((), ())),

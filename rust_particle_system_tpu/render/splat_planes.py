@@ -54,6 +54,15 @@ _FAR = 1.0e6
 _TCS = 32  # cells per in-kernel sub-tile (placement matmul granularity; on-chip
 #            sweep at the 1080p sim-grid geometry: 16 -> 9.76 ms, 32 -> 9.17,
 #            64 -> 11.20 — protos/time_splat5.py)
+# Kernel v2 (round 3): patch row i rides SUBLANES, (cell-of-group, j) rides
+# LANES — the spread/fold chain of v1 (move the cell index from sublanes to
+# lanes through a [4, lanes, K] intermediate, ~4 ms of the 8.6 ms kernel at the
+# 1080p/1M geometry, protos/time_splat6.py) does not exist at all: per group of
+# 128//rowpad cells one small one-hot dot routes slot rows to lane segments, the
+# pair math runs on [C, PH, 128] tiles, and placement into the row strip is one
+# [4*PH, 128] x [128, 128] dot.  Falls back to v1 when the geometry doesn't fit
+# (patch wider than 32 lanes or group span over 128 columns).
+_KERNEL_V2 = True
 
 
 def _round_up(x, m):
@@ -166,6 +175,61 @@ def _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
     return kernel
 
 
+def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
+                          height, WP, PH_PAD, pw):
+    """Row-sublane rasterizer: one program per cell row; per group of G cells the
+    slot planes are routed to lane segments by a one-hot dot, the sprite alphas
+    are evaluated on [C, PH_PAD, 128] tiles (i on sublanes, (cell, j) on lanes),
+    channels reduce over the slot dim, and one [4*PH_PAD, 128] x [128, 128] dot
+    places the group's patches into the row strip at their x offsets."""
+    ngroup = wt // G
+    HI = jax.lax.Precision.HIGHEST
+
+    def kernel(scal_ref, e8_ref, base_ref, ljc_ref, iy_ref, p8_ref,
+               px_ref, py_ref, r_ref, g_ref, b_ref, q_ref):
+        radius = scal_ref[0]
+        inv_w = scal_ref[1]
+        rr = jnp.float32(gh - 1) - jnp.float32(pl.program_id(0))
+        origin_y = height - (rr + 1.0) * sy_px - margin
+        q_ref[...] = jnp.zeros((4, 1, PH_PAD, WP), jnp.float32)
+        for g in range(ngroup):
+            sl = slice(g * G, (g + 1) * G)
+            pxg = px_ref[0, sl, :]                                  # [G, C]
+            any_live = jnp.max(jnp.where(pxg < 0.5 * _FAR, 1.0, 0.0)) > 0.5
+
+            @pl.when(any_live)
+            def _(g=g, sl=sl, pxg=pxg):
+                planes5 = jnp.stack(
+                    [pxg, py_ref[0, sl, :], r_ref[0, sl, :],
+                     g_ref[0, sl, :], b_ref[0, sl, :]])             # [5, G, C]
+                lanes5 = jax.lax.dot_general(
+                    planes5, e8_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI)
+                # lanes5[k, c, l]: slot c of cell l//rowpad, channel k
+                qxl = lanes5[0] - (base_ref[...] + jnp.float32(g * G * sx_px))
+                qyl = lanes5[1] - origin_y                          # [C, 128]
+                dxl = ljc_ref[...] - qxl
+                dx2 = dxl * dxl
+                dy = iy_ref[...][None] - qyl[:, None, :]            # [C,PH,128]
+                d = jnp.sqrt(dy * dy + dx2[:, None, :])
+                tt = jnp.clip((d - 0.8 * radius) * inv_w, 0.0, 1.0)
+                alpha = 1.0 - tt * tt * (3.0 - 2.0 * tt)
+                alpha = jnp.where(alpha < 0.01, 0.0, alpha)  # discard rule
+                accs = jnp.stack(
+                    [jnp.sum(lanes5[2][:, None, :] * alpha, axis=0),
+                     jnp.sum(lanes5[3][:, None, :] * alpha, axis=0),
+                     jnp.sum(lanes5[4][:, None, :] * alpha, axis=0),
+                     jnp.sum(alpha, axis=0)])                       # [4,PH,128]
+                strip = jax.lax.dot_general(
+                    accs, p8_ref[...], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI)
+                x0 = g * G * sx_px
+                cur = q_ref[:, 0, :, x0 : x0 + 128]
+                q_ref[:, 0, :, x0 : x0 + 128] = cur + strip
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid_spec", "render_spec", "interpret", "bounds_static",
@@ -218,6 +282,9 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     lanes = _round_up(ph * rowpad, 128)
     off = gh * sy_px - H  # world rows extend above the viewport top
     assert off >= 0
+    G = 128 // rowpad  # v2: cells per lane group
+    use_v2 = (_KERNEL_V2 and ph <= 32
+              and (G - 1) * sx_px + pw <= 128)
 
     # world -> pixel in plane space (elementwise); dead slots park far away
     ppx = jnp.where(live, (px - x_min) * sx_scale, _FAR)
@@ -232,7 +299,7 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     gcol = jnp.where(live, rgb[1], 0.0)
     b = jnp.where(live, rgb[2], 0.0)
 
-    tcs = _TCS
+    tcs = G if use_v2 else _TCS
     wt = _round_up(gw, tcs)
     nsub = wt // tcs
 
@@ -249,36 +316,65 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     inv_w = 1.0 / jnp.maximum(radius_px - 0.8 * radius_px, 1e-6)
     scal = jnp.stack([radius_px, inv_w]).astype(jnp.float32)
 
-    # patch pixel (i, j) on lane i*rowpad + j; dead lanes parked at -FAR
-    lidx = np.arange(lanes)
-    li, lj = lidx // rowpad, lidx % rowpad
-    ldead = (li >= ph) | (lj >= pw)
-    apix = jnp.asarray(
-        np.stack([np.where(ldead, -_FAR, lj + 0.5),
-                  np.where(ldead, -_FAR, li + 0.5)]), jnp.float32)
-
-    E1, mj, P, K, span_pad = _placement_consts(tcs, rowpad, lanes, sx_px, pw)
-    WP = _round_up((nsub - 1) * tcs * sx_px + span_pad, 128)
     PH_PAD = _round_up(ph, 8)
-
-    kernel = _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
-                                sx_px, sy_px, margin, H, WP, PH_PAD)
     in_block = pl.BlockSpec((1, wt, C), lambda rr: (gh - 1 - rr, 0, 0))
+
+    if use_v2:
+        WP = _round_up((nsub - 1) * G * sx_px + 128, 128)
+        lidx = np.arange(128)
+        lt, lj = lidx // rowpad, lidx % rowpad
+        E8 = jnp.asarray((lidx[None, :] // rowpad
+                          == np.arange(G)[:, None]).astype(np.float32))
+        base = jnp.asarray((lt * sx_px - margin)[None, :], jnp.float32)
+        ljc = jnp.asarray(np.where(lj < pw, lj + 0.5, -_FAR)[None, :],
+                          jnp.float32)
+        iy = jnp.asarray(np.broadcast_to(
+            (np.arange(PH_PAD) + 0.5)[:, None], (PH_PAD, 128)), jnp.float32)
+        P8 = np.zeros((128, 128), np.float32)
+        for l in range(128):
+            if l % rowpad < pw:
+                P8[l, (l // rowpad) * sx_px + l % rowpad] = 1.0
+        kernel = _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px,
+                                       margin, H, WP, PH_PAD, pw)
+        consts = (scal, E8, base, ljc, iy, jnp.asarray(P8))
+        const_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec((G, 128), lambda rr: (0, 0)),
+                       pl.BlockSpec((1, 128), lambda rr: (0, 0)),
+                       pl.BlockSpec((1, 128), lambda rr: (0, 0)),
+                       pl.BlockSpec((PH_PAD, 128), lambda rr: (0, 0)),
+                       pl.BlockSpec((128, 128), lambda rr: (0, 0))]
+    else:
+        # patch pixel (i, j) on lane i*rowpad + j; dead lanes parked at -FAR
+        lidx = np.arange(lanes)
+        li, lj = lidx // rowpad, lidx % rowpad
+        ldead = (li >= ph) | (lj >= pw)
+        apix = jnp.asarray(
+            np.stack([np.where(ldead, -_FAR, lj + 0.5),
+                      np.where(ldead, -_FAR, li + 0.5)]), jnp.float32)
+
+        E1, mj, P, K, span_pad = _placement_consts(tcs, rowpad, lanes, sx_px,
+                                                   pw)
+        WP = _round_up((nsub - 1) * tcs * sx_px + span_pad, 128)
+
+        kernel = _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
+                                    sx_px, sy_px, margin, H, WP, PH_PAD)
+        consts = (scal, apix, E1, mj, P)
+        const_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec((2, lanes), lambda rr: (0, 0)),
+                       pl.BlockSpec((tcs, K), lambda rr: (0, 0)),
+                       pl.BlockSpec((lanes, K), lambda rr: (0, 0)),
+                       pl.BlockSpec((K, span_pad), lambda rr: (0, 0))]
+
     q = pl.pallas_call(
         kernel,
         grid=(gh,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((2, lanes), lambda rr: (0, 0)),
-                  pl.BlockSpec((tcs, K), lambda rr: (0, 0)),
-                  pl.BlockSpec((lanes, K), lambda rr: (0, 0)),
-                  pl.BlockSpec((K, span_pad), lambda rr: (0, 0))]
-        + [in_block] * 5,
+        in_specs=const_specs + [in_block] * 5,
         out_specs=pl.BlockSpec((4, 1, PH_PAD, WP), lambda rr: (0, rr, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((4, gh, PH_PAD, WP), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, apix, E1, mj, P, *planes)
+    )(*consts, *planes)
 
     # y-overlap fold: strip row R' patch row i lands at image row
     # R'*sy_px + i - margin - off.  Two statically-shifted adds.
