@@ -297,6 +297,7 @@ def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
         interpret=interpret, margin=margin,
+        color_sum=jnp.float32(1.0),  # energy_color ramp: r+g+b == 1
     )
     return dataclasses.replace(new_ps, frame=ps.frame + 1), image
 
@@ -331,4 +332,8 @@ def render_plane_state(ps: PlaneState, params: SimParams, spec: GridSpec,
         interpret=interpret,
         margin=min(MARGIN, render_spec.max_radius_px + 1),
         colors=(rgb[..., 0], rgb[..., 1], rgb[..., 2]),
+        # Sum rule: the ramp sums to 1, warm-up white to 3 — a single traced
+        # scalar since the white/ramp switch is per-state, not per-slot.
+        color_sum=jnp.where(ps.frame > params.shader_delay,
+                            jnp.float32(1.0), jnp.float32(3.0)),
     )

@@ -405,5 +405,6 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
         interpret=interpret, margin=margin,
+        color_sum=jnp.float32(1.0),  # energy_color ramp: r+g+b == 1
     )
     return new_state._replace(frame=state.frame + 1), image

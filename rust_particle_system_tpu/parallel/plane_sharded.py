@@ -316,6 +316,9 @@ def make_plane_sharded_frame(spec: GridSpec, mesh, render_spec, bounds_static,
             bounds_static=bounds_static, grid_spec=spec,
             render_spec=render_spec, interpret=interpret, margin=4,
             resolve=False,
+            # Ramp colors sum to 1; blue reconstructs pre-psum (linear, so the
+            # composite is unchanged).
+            color_sum=jnp.float32(1.0),
         )
         rgb_acc = jax.lax.psum(rgb_acc, axis)
         a_acc = jax.lax.psum(a_acc, axis)

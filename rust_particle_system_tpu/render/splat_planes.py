@@ -176,12 +176,20 @@ def _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
 
 
 def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
-                          height, WP, PH_PAD, pw):
+                          height, WP, PH_PAD, pw, nch: int = 4):
     """Row-sublane rasterizer: one program per cell row; per group of G cells the
     slot planes are routed to lane segments by a one-hot dot, the sprite alphas
     are evaluated on [C, PH_PAD, 128] tiles (i on sublanes, (cell, j) on lanes),
-    channels reduce over the slot dim, and one [4*PH_PAD, 128] x [128, 128] dot
-    places the group's patches into the row strip at their x offsets."""
+    channels reduce over the slot dim, and one [nch*PH_PAD, 128] x [128, 128] dot
+    places the group's patches into the row strip at their x offsets.
+
+    ``nch=3`` is the sum-rule variant: the caller guarantees r+g+b sums to a
+    known per-state scalar K, so only (r·α, g·α, α) accumulate and the blue
+    channel reconstructs linearly as K·a − r − g downstream (exact for
+    energy_color's ramp, K=1, and warm-up white, K=3) — one broadcast-mul and
+    one C-deep reduction chain less per pair tile, and q/placement shrink 25%.
+    Measured exact vs the 4-channel kernel to 2.4e-6 at 1M/1080p
+    (protos/time_splat9.py)."""
     ngroup = wt // G
     HI = jax.lax.Precision.HIGHEST
 
@@ -191,7 +199,7 @@ def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
         inv_w = scal_ref[1]
         rr = jnp.float32(gh - 1) - jnp.float32(pl.program_id(0))
         origin_y = height - (rr + 1.0) * sy_px - margin
-        q_ref[...] = jnp.zeros((4, 1, PH_PAD, WP), jnp.float32)
+        q_ref[...] = jnp.zeros((nch, 1, PH_PAD, WP), jnp.float32)
         for g in range(ngroup):
             sl = slice(g * G, (g + 1) * G)
             pxg = px_ref[0, sl, :]                                  # [G, C]
@@ -199,9 +207,11 @@ def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
 
             @pl.when(any_live)
             def _(g=g, sl=sl, pxg=pxg):
-                planes5 = jnp.stack(
-                    [pxg, py_ref[0, sl, :], r_ref[0, sl, :],
-                     g_ref[0, sl, :], b_ref[0, sl, :]])             # [5, G, C]
+                chans = [pxg, py_ref[0, sl, :], r_ref[0, sl, :],
+                         g_ref[0, sl, :]]
+                if nch == 4:
+                    chans.append(b_ref[0, sl, :])
+                planes5 = jnp.stack(chans)                       # [nch+1,G,C]
                 lanes5 = jax.lax.dot_general(
                     planes5, e8_ref[...], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=HI)
@@ -215,11 +225,10 @@ def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
                 tt = jnp.clip((d - 0.8 * radius) * inv_w, 0.0, 1.0)
                 alpha = 1.0 - tt * tt * (3.0 - 2.0 * tt)
                 alpha = jnp.where(alpha < 0.01, 0.0, alpha)  # discard rule
-                accs = jnp.stack(
-                    [jnp.sum(lanes5[2][:, None, :] * alpha, axis=0),
-                     jnp.sum(lanes5[3][:, None, :] * alpha, axis=0),
-                     jnp.sum(lanes5[4][:, None, :] * alpha, axis=0),
-                     jnp.sum(alpha, axis=0)])                       # [4,PH,128]
+                parts = [jnp.sum(lanes5[k][:, None, :] * alpha, axis=0)
+                         for k in range(2, nch + 1)]
+                parts.append(jnp.sum(alpha, axis=0))
+                accs = jnp.stack(parts)                          # [nch,PH,128]
                 strip = jax.lax.dot_general(
                     accs, p8_ref[...], (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=HI)
@@ -240,7 +249,7 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
                       render_spec: RenderSpec,
                       background=(0.0, 0.0, 0.0, 1.0), interpret: bool | None = None,
                       margin: int | None = None, colors=None,
-                      resolve: bool = True):
+                      resolve: bool = True, color_sum=None):
     """Render from sim cell planes ([gh, gw, C] world-space pos + vel + live mask).
 
     Colours are the kinetic-energy ramp of (vx, vy), computed per slot — the same
@@ -256,6 +265,13 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     extra pixel of drift slack (ops/pallas/sph_step.py).  Defaults to MARGIN (4).
     Patches <= 16 px wide ride the fast 16-lane row layout; wider ones fall back
     to 32-lane rows (2x the pair lanes — prefer margins that keep stride+2m <= 16).
+
+    ``color_sum`` (traced scalar or None) opts into the SUM-RULE kernel: the
+    caller asserts every live slot's r+g+b equals this scalar (energy_color's
+    ramp sums to 1 on both segments; warm-up white sums to 3), so the kernel
+    accumulates only (r·α, g·α, α) and blue reconstructs linearly as
+    color_sum·a − r − g after the fold (psum-composite-safe).  None, or a
+    geometry that falls back to the v1 kernel, accumulates all 4 channels.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -319,6 +335,7 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     PH_PAD = _round_up(ph, 8)
     in_block = pl.BlockSpec((1, wt, C), lambda rr: (gh - 1 - rr, 0, 0))
 
+    nch = 3 if (color_sum is not None and use_v2) else 4
     if use_v2:
         WP = _round_up((nsub - 1) * G * sx_px + 128, 128)
         lidx = np.arange(128)
@@ -335,7 +352,7 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
             if l % rowpad < pw:
                 P8[l, (l // rowpad) * sx_px + l % rowpad] = 1.0
         kernel = _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px,
-                                       margin, H, WP, PH_PAD, pw)
+                                       margin, H, WP, PH_PAD, pw, nch=nch)
         consts = (scal, E8, base, ljc, iy, jnp.asarray(P8))
         const_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                        pl.BlockSpec((G, 128), lambda rr: (0, 0)),
@@ -369,8 +386,8 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
         kernel,
         grid=(gh,),
         in_specs=const_specs + [in_block] * 5,
-        out_specs=pl.BlockSpec((4, 1, PH_PAD, WP), lambda rr: (0, rr, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((4, gh, PH_PAD, WP), jnp.float32),
+        out_specs=pl.BlockSpec((nch, 1, PH_PAD, WP), lambda rr: (0, rr, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch, gh, PH_PAD, WP), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -378,8 +395,8 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
 
     # y-overlap fold: strip row R' patch row i lands at image row
     # R'*sy_px + i - margin - off.  Two statically-shifted adds.
-    img = jnp.zeros((4, H, W), jnp.float32)
-    a_part = q[:, :, :sy_px, :].reshape(4, gh * sy_px, WP)
+    img = jnp.zeros((nch, H, W), jnp.float32)
+    a_part = q[:, :, :sy_px, :].reshape(nch, gh * sy_px, WP)
     sa = -margin - off
     y0, y1 = max(0, sa), min(H, gh * sy_px + sa)
     img = img.at[:, y0:y1, :].add(
@@ -387,15 +404,22 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     nb = ph - sy_px  # = 2*margin <= sy_px
     b_part = q[:, :, sy_px:ph, :]
     b_part = jnp.concatenate(
-        [b_part, jnp.zeros((4, gh, sy_px - nb, WP), jnp.float32)], axis=2)
-    b_part = b_part.reshape(4, gh * sy_px, WP)
+        [b_part, jnp.zeros((nch, gh, sy_px - nb, WP), jnp.float32)], axis=2)
+    b_part = b_part.reshape(nch, gh * sy_px, WP)
     sb = sy_px - margin - off
     y0, y1 = max(0, sb), min(H, gh * sy_px + sb)
     img = img.at[:, y0:y1, :].add(
         b_part[:, y0 - sb : y1 - sb, margin : margin + W])
 
-    rgb_acc = jnp.moveaxis(img[:3], 0, -1)
-    a_acc = img[3]
+    if nch == 3:
+        # Sum-rule reconstruction: every live slot's r+g+b == color_sum, so
+        # b_acc = color_sum·a_acc − r_acc − g_acc (linear — composes with psum).
+        a_acc = img[2]
+        blue = color_sum * a_acc - img[0] - img[1]
+        rgb_acc = jnp.stack([img[0], img[1], blue], axis=-1)
+    else:
+        rgb_acc = jnp.moveaxis(img[:3], 0, -1)
+        a_acc = img[3]
     if not resolve:
         # Raw accumulators for distributed composites: sum across shards with a
         # psum (accumulation is commutative), then splat_resolve once.

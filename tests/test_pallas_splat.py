@@ -122,3 +122,60 @@ def test_planes_rasterizer_oracle_parity_fast_layout(rng):
 def test_planes_rasterizer_oracle_parity_wide_layout(rng):
     # margin 4 at 9px stride: 17px patches, 32-lane rows (the fallback path)
     _plane_case(4, rng)
+
+
+def _sum_rule_case(rng, color_sum_val, margin=2, h=45, w=90):
+    """3-channel sum-rule kernel vs the 4-channel kernel, same inputs."""
+    from rust_particle_system_tpu.ops.grid import GridSpec
+    from rust_particle_system_tpu.render.splat_planes import splat_from_planes
+
+    bounds = (0.0, float(w), 0.0, float(h))
+    spec = GridSpec.from_bounds(bounds, 9.0, capacity=8)
+    rs = RenderSpec(width=w, height=h, max_radius_px=2)
+    n = 400
+    pos = np.stack(
+        [rng.uniform(0, w, n), rng.uniform(0, h, n)], axis=-1
+    ).astype(np.float32)
+    C = spec.capacity
+    ppx = np.full((spec.gh, spec.gw, C), 1.0e6, np.float32)
+    ppy = np.full_like(ppx, 1.0e6)
+    occ = np.zeros((spec.gh, spec.gw), np.int32)
+    for x, y in pos:
+        cx = min(int((x - spec.x_min) / spec.cell_width), spec.gw - 1)
+        cy = min(int((y - spec.y_min) / spec.cell_size), spec.gh - 1)
+        k = occ[cy, cx]
+        if k < C:
+            ppx[cy, cx, k], ppy[cy, cx, k] = x, y
+            occ[cy, cx] = k + 1
+    live = jnp.asarray(ppx < 0.5e6)
+    # per-slot colors with a FIXED channel sum (the sum-rule contract):
+    # r uniform in [0, sum], g uniform in the rest, b the remainder.
+    r = np.asarray(rng.uniform(0, color_sum_val, ppx.shape), np.float32)
+    g = np.asarray(rng.uniform(0, 1.0, ppx.shape), np.float32) * (
+        color_sum_val - r)
+    b = color_sum_val - r - g
+    colf = lambda a: jnp.where(live, jnp.asarray(a), 0.0)
+    kwargs = dict(bounds_static=bounds, grid_spec=spec, render_spec=rs,
+                  margin=margin, resolve=False,
+                  colors=(colf(r), colf(g), colf(b)))
+    z = jnp.zeros_like(live, jnp.float32)
+    rgb4, a4 = splat_from_planes(jnp.asarray(ppx), jnp.asarray(ppy), z, z,
+                                 live, 2.0, 300.0, **kwargs)
+    rgb3, a3 = splat_from_planes(jnp.asarray(ppx), jnp.asarray(ppy), z, z,
+                                 live, 2.0, 300.0,
+                                 color_sum=jnp.float32(color_sum_val),
+                                 **kwargs)
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(a4),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb3), np.asarray(rgb4),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_sum_rule_matches_four_channel_ramp(rng):
+    # color_sum = 1: the energy_color ramp contract (both segments sum to 1)
+    _sum_rule_case(rng, 1.0)
+
+
+def test_sum_rule_matches_four_channel_white(rng):
+    # color_sum = 3: warm-up white frames
+    _sum_rule_case(rng, 3.0)

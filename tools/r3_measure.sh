@@ -17,7 +17,8 @@ run() {
 }
 
 run smoke      python tools/tpu_smoke.py
-run variants   python protos/time_plane_variants.py 30
-run rebin_v5v6 python protos/time_rebin_v5split.py 64 1.3 8,128 32
-run splat_tcs  python protos/time_splat5.py 64
-run splat4     python protos/time_splat4.py 64
+# Session-3 queue: splat sum-rule/dyn-chunk variants, the force-span gap probe,
+# and the 16M plane-resident config (never yet timed on-chip).
+run splat9     python -u protos/time_splat9.py 32
+run forces2    python -u protos/time_forces2.py 32
+run bench16m   python -u tools/bench_16m.py
