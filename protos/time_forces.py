@@ -61,11 +61,17 @@ hsync(fn(px, py, vx, vy))
 print(f"compile+first: {time.perf_counter() - t0:.1f} s", flush=True)
 
 R = 32  # large in-jit R: the fixed ~26 ms dispatch round-trip must amortize
+# TRAP (found round 3, protos/time_forces2.py): the POSITIONS must be jostled,
+# not just the velocities — the density walk's pallas call consumes only
+# (px, py), so with loop-invariant positions XLA hoists the ENTIRE density
+# kernel out of the fori_loop and this "two-walk" loop times one walk
+# (19.3 vs the true 26 ms at 1M).
 loop = jax.jit(lambda seed: jax.lax.fori_loop(
     0, R,
     lambda i, acc: acc + jnp.sum(
-        _forces_from_cells(px, py, vx + 1e-4 * (seed + jnp.float32(i)), vy,
-                           spec, params, False)[0]
+        _forces_from_cells(
+            jnp.where(live, px + 1e-4 * (seed + jnp.float32(i)), SENTINEL),
+            py, vx, vy, spec, params, False)[0]
         [::16, ::16, 0]),
     jnp.float32(0)))
 hsync(loop(jnp.float32(0.0)))  # warm; timed call takes a DIFFERENT traced seed
