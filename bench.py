@@ -331,16 +331,15 @@ def main() -> None:
     hsync((fps2.px, img))
     p50_frame_ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
 
-    # Same, with the opt-in tight patch (margin = radius + 1 px drift slack):
-    # keeps radius-2 sprites on the 16-lane-row fast path of the row-strip
-    # rasterizer; the default margin-4 patch is 17 px wide at the sim grid's
-    # 9 px stride and falls to 32-lane rows (see render/splat_planes.py).
+    # Alternative row: the classic WIDE patch (margin 4, 32-lane rows) — the
+    # default is now the tight patch with in-kernel center clamping (drifted
+    # sprites displace instead of clipping; render/splat_planes.py).
     fused3 = jax.jit(
         lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS,
-                              patch_margin=rspec.max_radius_px + 1),
+                              patch_margin=4),
         donate_argnums=0,
     )
-    _progress("fused (tight patch)...")
+    _progress("fused (wide margin-4 patch)...")
     fps3 = plane_state_from_particles(
         uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec)
     fps3, img = fused3(fps3)
@@ -456,7 +455,7 @@ def main() -> None:
                 "settled_steps_per_sec_c128": round(N / settled_ms * 1e3),
                 "settled_lost_c128": lost128,
                 "fused_frame_ms": round(p50_frame_ms, 2),
-                "fused_frame_tight_patch_ms": round(fused_margin3_ms, 2),
+                "fused_frame_margin4_ms": round(fused_margin3_ms, 2),
                 "flow_steps_per_sec": round(flow_rate),
                 "splat_1080p_ms": round(render_ms, 3),
                 "splat_1080p_ms_v1_kernel": render_v1_ms,

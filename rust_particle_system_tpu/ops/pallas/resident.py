@@ -290,13 +290,19 @@ def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
     new_ps, planes = jax.lax.cond(
         ps.frame >= params.shader_delay, live_frame, frozen_frame, ps
     )
-    margin = 4 if patch_margin is None else min(4, max(
-        patch_margin, render_spec.max_radius_px))
+    # Default: the TIGHT patch (radius + 1 px drift slack) with in-kernel
+    # center clamping — a sprite drifting beyond the slack renders displaced
+    # by the excess instead of clipped (mass-preserving), so the fast 16-lane
+    # patch layout is safe as the default (48.8 -> ~39 ms fused at 1M/1080p).
+    # Pass patch_margin=4 for the classic wide patch (2 px of undisplaced
+    # slack at radius 2).
+    margin = (render_spec.max_radius_px + 1 if patch_margin is None
+              else min(4, max(patch_margin, render_spec.max_radius_px)))
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
-        interpret=interpret, margin=margin,
+        interpret=interpret, margin=margin, clamp_drift=True,
         color_sum=jnp.float32(1.0),  # energy_color ramp: r+g+b == 1
     )
     return dataclasses.replace(new_ps, frame=ps.frame + 1), image

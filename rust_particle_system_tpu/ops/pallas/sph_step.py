@@ -375,10 +375,12 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     sph_step_pallas + a separate render.
 
     Note a fused-render limitation: a particle is drawn inside the patch of the cell it
-    was binned in (by predicted position), so its sprite clips if the within-frame
-    displacement exceeds MARGIN − radius_px (4px − radius at defaults); overflow
-    particles beyond cell capacity are absent from the fused image.  Use the standalone
-    rasterizer when per-frame displacements can be large.
+    was binned in (by predicted position), so a sprite whose within-frame displacement
+    exceeds ``margin − radius_px`` (1 px at the tight default) renders displaced by
+    the excess — the in-kernel center clamp preserves its full mass instead of
+    clipping it at the patch edge; overflow particles beyond cell capacity are absent
+    from the fused image.  Use the standalone rasterizer when exact positions matter
+    for very fast sprites.
     """
     from ...render.splat_planes import splat_from_planes
 
@@ -394,17 +396,18 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     new_state, planes = jax.lax.cond(
         state.frame >= params.shader_delay, live_frame, frozen_frame, state
     )
-    # Patch margin: the default 4 leaves (4 − radius_px) pixels of within-frame
-    # drift slack.  Callers whose per-frame displacement is provably < 1 px (slow
-    # flows, tiny dt) can pass ``patch_margin=max_radius_px + 1`` to shrink patches
-    # and cut splat lanes — a tighter margin clips fast sprites at patch edges.
-    margin = 4 if patch_margin is None else min(4, max(
-        patch_margin, render_spec.max_radius_px))
+    # Patch margin: the default is the TIGHT patch (radius + 1 px of undisplaced
+    # drift slack) with in-kernel center clamping — sprites drifting further
+    # render displaced by the excess instead of clipped (mass-preserving; see
+    # render/splat_planes.py::_clamp_center).  Pass ``patch_margin=4`` for the
+    # classic wide patch (2 px of undisplaced slack at radius 2).
+    margin = (render_spec.max_radius_px + 1 if patch_margin is None
+              else min(4, max(patch_margin, render_spec.max_radius_px)))
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
-        interpret=interpret, margin=margin,
+        interpret=interpret, margin=margin, clamp_drift=True,
         color_sum=jnp.float32(1.0),  # energy_color ramp: r+g+b == 1
     )
     return new_state._replace(frame=state.frame + 1), image

@@ -115,10 +115,21 @@ def _placement_consts(tcs, rowpad, lanes, sx_px, pw):
     return jnp.asarray(E1), jnp.asarray(mj), jnp.asarray(P), K, span_pad
 
 
+def _clamp_center(q, radius, hi):
+    """Clamp a live sprite center into [radius, hi - radius] of its patch so an
+    over-drifted sprite renders DISPLACED (mass-preserving) instead of clipped
+    at the patch edge; dead slots (parked at ~_FAR) stay parked."""
+    qc = jnp.clip(q, radius, hi - radius)
+    return jnp.where(q > 0.1 * _FAR, q, qc)
+
+
 def _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
-                       sx_px, sy_px, margin, height, WP, PH_PAD):
+                       sx_px, sy_px, margin, height, WP, PH_PAD,
+                       clamp_drift: bool = False):
     nsub = wt // tcs
     HI = jax.lax.Precision.HIGHEST
+    ph = sy_px + 2 * margin
+    pw = sx_px + 2 * margin
 
     def kernel(scal_ref, apix_ref, e1_ref, mj_ref, p_ref,
                px_ref, py_ref, r_ref, g_ref, b_ref, q_ref):
@@ -141,6 +152,9 @@ def _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
                          ).astype(jnp.float32)
                 qx = pxs - (cellx * sx_px - margin)
                 qy = py_ref[0, sl, :] - origin_y
+                if clamp_drift:
+                    qx = _clamp_center(qx, radius, jnp.float32(pw))
+                    qy = _clamp_center(qy, radius, jnp.float32(ph))
                 cols = jnp.stack(
                     [r_ref[0, sl, :], g_ref[0, sl, :], b_ref[0, sl, :],
                      jnp.ones((tcs, C), jnp.float32)], axis=1)      # [tcs,4,C]
@@ -176,7 +190,8 @@ def _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
 
 
 def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
-                          height, WP, PH_PAD, pw, nch: int = 4):
+                          height, WP, PH_PAD, pw, nch: int = 4,
+                          clamp_drift: bool = False):
     """Row-sublane rasterizer: one program per cell row; per group of G cells the
     slot planes are routed to lane segments by a one-hot dot, the sprite alphas
     are evaluated on [C, PH_PAD, 128] tiles (i on sublanes, (cell, j) on lanes),
@@ -218,6 +233,12 @@ def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
                 # lanes5[k, c, l]: slot c of cell l//rowpad, channel k
                 qxl = lanes5[0] - (base_ref[...] + jnp.float32(g * G * sx_px))
                 qyl = lanes5[1] - origin_y                          # [C, 128]
+                if clamp_drift:
+                    # patch-local x rides base_ref's per-lane frame: the legal
+                    # center range within each cell's patch is [r, pw - r].
+                    qxl = _clamp_center(qxl, radius, jnp.float32(pw))
+                    qyl = _clamp_center(qyl, radius,
+                                        jnp.float32(sy_px + 2 * margin))
                 dxl = ljc_ref[...] - qxl
                 dx2 = dxl * dxl
                 dy = iy_ref[...][None] - qyl[:, None, :]            # [C,PH,128]
@@ -242,14 +263,15 @@ def _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px, margin,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_spec", "render_spec", "interpret", "bounds_static",
-                     "margin", "resolve"),
+                     "margin", "resolve", "clamp_drift"),
 )
 def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
                       *, bounds_static: tuple, grid_spec: GridSpec,
                       render_spec: RenderSpec,
                       background=(0.0, 0.0, 0.0, 1.0), interpret: bool | None = None,
                       margin: int | None = None, colors=None,
-                      resolve: bool = True, color_sum=None):
+                      resolve: bool = True, color_sum=None,
+                      clamp_drift: bool = False):
     """Render from sim cell planes ([gh, gw, C] world-space pos + vel + live mask).
 
     Colours are the kinetic-energy ramp of (vx, vy), computed per slot — the same
@@ -272,6 +294,13 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
     accumulates only (r·α, g·α, α) and blue reconstructs linearly as
     color_sum·a − r − g after the fold (psum-composite-safe).  None, or a
     geometry that falls back to the v1 kernel, accumulates all 4 channels.
+
+    ``clamp_drift`` (static) clamps live sprite centers into their patch
+    ([radius, patch − radius] per axis): a sprite whose within-frame drift
+    exceeds ``margin − radius`` renders DISPLACED by the excess instead of
+    clipped at the patch edge — mass-preserving graceful degradation that lets
+    the fused frame default to the tight patch.  Off for exact-plane callers
+    (standalone renders), where positions cannot leave the patch.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -352,7 +381,8 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
             if l % rowpad < pw:
                 P8[l, (l // rowpad) * sx_px + l % rowpad] = 1.0
         kernel = _make_strip_kernel_v2(gh, wt, C, G, rowpad, sx_px, sy_px,
-                                       margin, H, WP, PH_PAD, pw, nch=nch)
+                                       margin, H, WP, PH_PAD, pw, nch=nch,
+                                       clamp_drift=clamp_drift)
         consts = (scal, E8, base, ljc, iy, jnp.asarray(P8))
         const_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                        pl.BlockSpec((G, 128), lambda rr: (0, 0)),
@@ -374,7 +404,8 @@ def splat_from_planes(px, py, vx, vy, live, particle_size, max_energy,
         WP = _round_up((nsub - 1) * tcs * sx_px + span_pad, 128)
 
         kernel = _make_strip_kernel(gh, wt, C, tcs, rowpad, lanes, K, span_pad,
-                                    sx_px, sy_px, margin, H, WP, PH_PAD)
+                                    sx_px, sy_px, margin, H, WP, PH_PAD,
+                                    clamp_drift=clamp_drift)
         consts = (scal, apix, E1, mj, P)
         const_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                        pl.BlockSpec((2, lanes), lambda rr: (0, 0)),

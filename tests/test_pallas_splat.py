@@ -179,3 +179,44 @@ def test_sum_rule_matches_four_channel_ramp(rng):
 def test_sum_rule_matches_four_channel_white(rng):
     # color_sum = 3: warm-up white frames
     _sum_rule_case(rng, 3.0)
+
+
+def test_clamp_drift_preserves_sprite_mass():
+    """A sprite drifted beyond margin - radius renders DISPLACED (full mass)
+    with clamp_drift=True, where the unclamped kernel clips it."""
+    from rust_particle_system_tpu.ops.grid import GridSpec
+    from rust_particle_system_tpu.render.splat_planes import splat_from_planes
+
+    h, w = 45, 90
+    bounds = (0.0, float(w), 0.0, float(h))
+    spec = GridSpec.from_bounds(bounds, 9.0, capacity=8)
+    rs = RenderSpec(width=w, height=h, max_radius_px=2)
+    C = spec.capacity
+    ppx = np.full((spec.gh, spec.gw, C), 1.0e6, np.float32)
+    ppy = np.full_like(ppx, 1.0e6)
+    # binned into cell (2, 4) (x in [36, 45)) but drifted 5 px left of the cell
+    # edge — far outside the margin-3 patch's 1 px slack.  The clamp puts its
+    # center at patch x = radius (2), i.e. absolute pixel x = 36 - 3 + 2 = 35.
+    ppx[2, 4, 0], ppy[2, 4, 0] = 31.0, 22.5
+    # reference: an interior sprite at the CLAMPED position (same sub-pixel
+    # phase — sprite mass varies with pixel alignment), binned normally.
+    ppx_ref = np.full_like(ppx, 1.0e6)
+    ppy_ref = np.full_like(ppy, 1.0e6)
+    ppx_ref[2, 3, 0], ppy_ref[2, 3, 0] = 35.0, 22.5
+    live = jnp.asarray(ppx < 0.5e6)
+    col = jnp.where(live, 1.0, 0.0)
+    z = jnp.zeros_like(live, jnp.float32)
+
+    def mass(px, py, clamp):
+        _, a = splat_from_planes(
+            jnp.asarray(px), jnp.asarray(py), z, z, jnp.asarray(px < 0.5e6),
+            2.0, 300.0, bounds_static=bounds, grid_spec=spec, render_spec=rs,
+            margin=3, resolve=False, colors=(col, col, col),
+            clamp_drift=clamp)
+        return float(jnp.sum(a))
+
+    full = mass(ppx_ref, ppy_ref, False)
+    clipped = mass(ppx, ppy, False)
+    clamped = mass(ppx, ppy, True)
+    assert clipped < 0.8 * full  # the old behavior really clips this sprite
+    np.testing.assert_allclose(clamped, full, rtol=1e-5)
