@@ -295,9 +295,11 @@ def plane_frame(ps: PlaneState, params: SimParams, spec: GridSpec, render_spec,
     # by the excess instead of clipped (mass-preserving), so the fast 16-lane
     # patch layout is safe as the default (48.8 -> ~39 ms fused at 1M/1080p).
     # Pass patch_margin=4 for the classic wide patch (2 px of undisplaced
-    # slack at radius 2).
-    margin = (render_spec.max_radius_px + 1 if patch_margin is None
-              else min(4, max(patch_margin, render_spec.max_radius_px)))
+    # slack at radius 2).  Coarse-pixel geometries clamp the slack to what the
+    # stride allows (see drifted_patch_margin).
+    from ...render.splat_planes import drifted_patch_margin
+
+    margin = drifted_patch_margin(spec, render_spec, bounds_static, patch_margin)
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
         params.particle_size, params.max_energy,
@@ -323,7 +325,7 @@ def render_plane_state(ps: PlaneState, params: SimParams, spec: GridSpec,
     see render/splat_planes.py).  Warm-up states draw white, matching the
     stream path.
     """
-    from ...render.splat_planes import MARGIN, splat_from_planes
+    from ...render.splat_planes import drifted_patch_margin, splat_from_planes
 
     live = ps.live
     colored = K.energy_color(
@@ -336,7 +338,11 @@ def render_plane_state(ps: PlaneState, params: SimParams, spec: GridSpec,
         params.particle_size, params.max_energy,
         bounds_static=bounds_static, grid_spec=spec, render_spec=render_spec,
         interpret=interpret,
-        margin=min(MARGIN, render_spec.max_radius_px + 1),
+        margin=drifted_patch_margin(spec, render_spec, bounds_static),
+        # Same mass-preserving contract as the fused frame: a sprite drifted
+        # beyond the slack (bounce reflections, retained movers) renders
+        # displaced by the excess instead of clipped at its patch edge.
+        clamp_drift=True,
         colors=(rgb[..., 0], rgb[..., 1], rgb[..., 2]),
         # Sum rule: the ramp sums to 1, warm-up white to 3 — a single traced
         # scalar since the white/ramp switch is per-state, not per-slot.

@@ -400,9 +400,12 @@ def sph_frame_pallas(state: ParticleState, params: SimParams, spec: GridSpec,
     # drift slack) with in-kernel center clamping — sprites drifting further
     # render displaced by the excess instead of clipped (mass-preserving; see
     # render/splat_planes.py::_clamp_center).  Pass ``patch_margin=4`` for the
-    # classic wide patch (2 px of undisplaced slack at radius 2).
-    margin = (render_spec.max_radius_px + 1 if patch_margin is None
-              else min(4, max(patch_margin, render_spec.max_radius_px)))
+    # classic wide patch (2 px of undisplaced slack at radius 2).  The rasterizer
+    # requires pixel stride >= 2*margin, so the tight default clamps to stride//2
+    # (losing drift slack before losing the fast path) on coarse-pixel geometries.
+    from ...render.splat_planes import drifted_patch_margin
+
+    margin = drifted_patch_margin(spec, render_spec, bounds_static, patch_margin)
     image = splat_from_planes(
         planes["px"], planes["py"], planes["vx"], planes["vy"], planes["live"],
         params.particle_size, params.max_energy,

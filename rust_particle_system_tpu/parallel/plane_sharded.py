@@ -316,6 +316,10 @@ def make_plane_sharded_frame(spec: GridSpec, mesh, render_spec, bounds_static,
             bounds_static=bounds_static, grid_spec=spec,
             render_spec=render_spec, interpret=interpret, margin=4,
             resolve=False,
+            # Mass-preserving drift clamp, same as the single-chip plane
+            # renders (per-sprite and pre-accumulation, so it commutes with
+            # the psum composite).
+            clamp_drift=True,
             # Ramp colors sum to 1; blue reconstructs pre-psum (linear, so the
             # composite is unchanged).
             color_sum=jnp.float32(1.0),

@@ -89,6 +89,36 @@ def planes_compatible(grid_spec, render_spec, bounds, margin: int) -> bool:
     return render_spec.max_radius_px <= margin
 
 
+def drifted_patch_margin(grid_spec, render_spec, bounds, patch_margin=None) -> int:
+    """Static patch margin for renders of DRIFTED planes (the fused frame and
+    ``render_plane_state``, where positions moved at most one integration past
+    their binned cell).
+
+    Defaults to the TIGHT patch — sprite radius + 1 px of drift slack, relying
+    on the rasterizer's in-kernel center clamping for drift beyond the slack —
+    but never violates the ``stride >= 2*margin`` precondition: on coarse-pixel
+    geometries the drift slack shrinks first and the sprite-radius floor is
+    kept last (geometries below even that floor fail ``planes_compatible`` and
+    must use the general splat).  An explicit ``patch_margin`` requests the
+    classic wide patch, still floored at the sprite radius and capped at
+    :data:`MARGIN`.
+    """
+    if bounds is None:  # callers without static bounds keep the uncapped default
+        stride_cap = MARGIN
+    else:
+        x_min, x_max, y_min, y_max = (float(b) for b in bounds)
+        sx_px = int(round(grid_spec.cell_width * render_spec.width
+                          / (x_max - x_min)))
+        sy_px = int(round(grid_spec.cell_size * render_spec.height
+                          / (y_max - y_min)))
+        stride_cap = min(sx_px, sy_px) // 2
+    if patch_margin is None:
+        margin = min(render_spec.max_radius_px + 1, stride_cap)
+    else:
+        margin = min(MARGIN, max(patch_margin, render_spec.max_radius_px))
+    return max(margin, render_spec.max_radius_px)
+
+
 def _placement_consts(tcs, rowpad, lanes, sx_px, pw):
     """One-hot matrices for the in-kernel cells->strip placement.
 
