@@ -248,7 +248,8 @@ def make_v2(spread_sign=+1):
                 if g >= ngroup:
                     continue
                 A = (T if gs == 0 else
-                     pltpu.roll(T, shift=spread_sign * (-8 * gs), axis=2))
+                     pltpu.roll(T, shift=(spread_sign * (-8 * gs)) % 128,
+                                axis=2))
                 live8 = jnp.where(
                     (A[0] < 0.5 * _FAR) & (lane[0] < 8), 1.0, 0.0)
                 any_live = jnp.max(live8) > 0.5
@@ -258,7 +259,8 @@ def make_v2(spread_sign=+1):
                     S = A
                     for b in (8, 16, 32, 64):
                         S = jnp.where((lane & b) == 0, S,
-                                      pltpu.roll(S, shift=spread_sign * b,
+                                      pltpu.roll(S,
+                                                 shift=(spread_sign * b) % 128,
                                                  axis=2))
                     qxl = S[0] - (base_ref[...]
                                   + jnp.float32(g * G * sx_px))
