@@ -8,24 +8,34 @@ Prints ONE JSON line:
 particle-steps/sec/chip at 1M particles (the reference publishes no numbers of its
 own — see BASELINE.md).  The headline runs the PLANE-RESIDENT production pipeline
 (ops/pallas/resident.py): state lives in cell planes, one lossless hole-fill rebin
-per frame, no sort after the initial binning.  Extra fields record the settle-safe
-default (capacity 128) measured AT EQUILIBRIUM (VERDICT r2 #6), the secondary
-workloads (flow-field rate, fused step+render p50, 1080p splat from planes and from
-raw positions), the per-phase frame breakdown, and the issued-vs-useful pair-work
-ratio of the force kernels.
+per frame, no sort after the initial binning.
 
-Protocol notes (hard-won; see runtime/timing.py): this runtime memoizes
+STALL-PROOF PROTOCOL (round 4, after BENCH_r03 timed out with zero output):
+the result dict is built INCREMENTALLY, every section runs under a wall-clock
+budget enforced by SIGALRM, a global deadline (RPS_BENCH_DEADLINE_S, default
+480 s) skips whatever remains, and the ONE JSON line is printed from a
+``finally`` block — so a stall or crash in any late section still emits every
+number already measured.  SIGTERM (what ``timeout`` sends) also triggers the
+emit, so even a driver-side timeout leaves the JSON in the output tail.
+Cold-compile-heavy comparison rows (pipeline-variant candidates, v1 splat
+fallback, margin-4 fused patch, raw-positions splat) only run under
+RPS_BENCH_FULL=1 — each costs a fresh Mosaic compile which under CPU
+contention turns ~30 s into many minutes (BASELINE.md toolchain note), which
+is exactly how BENCH_r03 died.
+
+Measurement notes (hard-won; see runtime/timing.py): this runtime memoizes
 identical-input executions, its block_until_ready can return before completion
-(only device->host pulls are true barriers), and every host RPC costs ~10s of ms —
-so the chained frame loop ends in ONE host pull, and all unchained measurements
-(phases, splat) run as in-jit repetition loops over distinct inputs with checksum
-outputs.  Scan vs host loop is a wash for heavy frames (measured 65.5 ms both).
+(only device->host pulls are true barriers), and every host RPC costs ~10s of
+ms — so the chained frame loop ends in ONE host pull, and all unchained
+measurements (phases, splat) run as in-jit repetition loops over distinct
+inputs with checksum outputs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -33,7 +43,23 @@ import time
 def _progress(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+
 import jax
+
+# Persistent compilation cache: cold Mosaic+XLA compiles of the 1M-shape
+# pipeline take MINUTES on this 1-core host (BENCH_r03 died to exactly this).
+# With the cache populated (any earlier bench run this round), every section
+# compiles in seconds.  Absolute path: the driver may run from any cwd.
+if os.environ.get("RPS_BENCH_NO_CACHE") != "1":
+    _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
 import jax.numpy as jnp
 
 import rust_particle_system_tpu as rps
@@ -61,6 +87,8 @@ FLOW_FRAMES = 100
 FUSED_REPS = 31
 RENDER_WH = (1920, 1080)
 
+FULL = os.environ.get("RPS_BENCH_FULL") == "1"
+
 # Smoke mode (RPS_BENCH_SMOKE=1): tiny shapes that run the SAME code paths in
 # interpret-mode Pallas on CPU — validates the bench end-to-end without the chip.
 # Numbers printed in this mode are meaningless; it exists to catch protocol bugs.
@@ -78,6 +106,88 @@ if SMOKE:
     FUSED_REPS = 2
     RENDER_WH = (288, 144)  # keeps the 1-world-unit-per-pixel integral stride
 
+# ---------------------------------------------------------------------------
+# Stall-proofing machinery.
+# ---------------------------------------------------------------------------
+
+RESULTS: dict = {
+    "metric": "particle_steps_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "steps/s",
+    "vs_baseline": 0.0,
+    "n_particles": N,
+    "frames": FRAMES,
+    "sections": {},
+}
+_EMITTED = False
+
+
+def emit() -> None:
+    """Print the ONE JSON line exactly once.  Called from the normal exit path,
+    from ``finally`` on any crash, and from the SIGTERM handler."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULTS), flush=True)
+
+
+class SectionTimeout(Exception):
+    pass
+
+
+_DEADLINE = time.monotonic() + float(os.environ.get("RPS_BENCH_DEADLINE_S", "900"))
+
+
+def run_section(name: str, budget_s: float, fn) -> bool:
+    """Run ``fn`` (which writes its fields into RESULTS) under a SIGALRM
+    wall-clock budget, clipped to the global deadline.  Any timeout or exception
+    is recorded in RESULTS["sections"] and the bench moves on — a stalled Mosaic
+    compile in one section can no longer forfeit the numbers of the others."""
+    remaining = _DEADLINE - time.monotonic()
+    if remaining <= 5:
+        RESULTS["sections"][name] = "skipped_deadline"
+        _progress(f"{name}: skipped (global deadline)")
+        return False
+    budget = min(budget_s, remaining)
+    _progress(f"{name} (budget {budget:.0f}s)...")
+
+    def _on_alarm(signum, frame):
+        raise SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.setitimer(signal.ITIMER_REAL, budget)
+    t0 = time.monotonic()
+    try:
+        fn()
+        RESULTS["sections"][name] = round(time.monotonic() - t0, 1)
+        return True
+    except SectionTimeout:
+        RESULTS["sections"][name] = f"timeout@{budget:.0f}s"
+        _progress(f"{name}: TIMED OUT after {budget:.0f}s")
+        return False
+    except Exception as e:  # noqa: BLE001 — record, never break the bench
+        RESULTS["sections"][name] = f"failed: {type(e).__name__}: {e}"[:300]
+        _progress(f"{name}: FAILED ({type(e).__name__}: {e})")
+        return False
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _on_sigterm(signum, frame):
+    RESULTS["sections"]["_sigterm"] = "received"
+    emit()
+    # 143 = conventional SIGTERM exit; the JSON is already on stdout.
+    os._exit(143)
+
+
+signal.signal(signal.SIGTERM, _on_sigterm)
+
+# ---------------------------------------------------------------------------
+# Measurement bodies (unchanged protocol from round 3).
+# ---------------------------------------------------------------------------
+
 
 def uniform_init(key, n, bounds):
     x_min, x_max, y_min, y_max = bounds
@@ -92,20 +202,9 @@ def uniform_init(key, n, bounds):
     return make_state(pos)
 
 
-def _time_loop(step, state, frames):
-    # Chained timing with a host-pull barrier: block_until_ready does NOT actually
-    # block on this runtime (see runtime/timing.py) — only device->host pulls do.
-    from rust_particle_system_tpu.runtime.timing import hsync, time_chained
-
-    state = step(state)  # compile + warm (chained; step donates its input)
-    state = step(state)
-    per, state = time_chained(step, state, frames)
-    return per * frames, state
-
-
 def measure_phases(spec, params, frame_ms):
     """Per-frame phase split of the PLANE-RESIDENT pipeline via cumulative
-    prefixes, each timed as an in-jit 8-repetition loop over distinct inputs with
+    prefixes, each timed as an in-jit repetition loop over distinct inputs with
     a checksum output — the only protocol that survives this runtime's
     identical-input memoization, its non-blocking block_until_ready, AND its ~10s
     of ms per-RPC host-pull cost (see runtime/timing.py).  Differences of
@@ -235,242 +334,229 @@ def main() -> None:
     spec = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=64, cell_aspect=1,
                                 pack2=True)
     params = rps.make_params(bounds=BOUNDS, gravity=300.0, shader_delay=0)
-    ps = plane_state_from_particles(
-        uniform_init(jax.random.key(0), N, BOUNDS).with_ids(), spec)
-    lost_init = int(ps.lost)
-    sph = jax.jit(lambda s: plane_step(s, params, spec), donate_argnums=0)
-    _progress("headline (plane-resident pack2)...")
-    ps = sph(sph(ps))  # compile + warm
-    per, ps = time_chained(sph, ps, FRAMES)
-    sph_elapsed = per * FRAMES
-    sph_rate = FRAMES * N / sph_elapsed
-    lost_stepping = int(ps.lost) - lost_init  # lossless contract: must be 0
+    RESULTS["backend"] = "pallas_plane_resident_pack2"
+    RESULTS["device"] = str(jax.devices()[0])
 
-    # Pipeline fallback rows (guarded): the production default is now rebin v6
-    # + the fused in-kernel frame tail (measured fastest on-chip: 36.81 ms vs
-    # v5+XLA-tail 37.83 at 1M — protos/time_plane_variants.py); these rows keep
-    # the alternatives honest each round.
-    candidates = {}
-    for label, v, ft in (("v5_xla_tail", 5, False), ("v6_xla_tail", 6, False)):
-        _progress(f"candidate {label}...")
-        try:
+    # The tunnel's FIRST device->host pull in a process pays a one-time ~1-2 min
+    # channel-warmup tax (measured 115 s; later pulls ~28 ms).  Take it here, in
+    # its own budgeted section, so it never lands inside a timed measurement.
+    run_section("tunnel_warmup", 300,
+                lambda: hsync(jnp.zeros((8,), jnp.float32) + 1.0))
+
+    def sec_headline():
+        ps = plane_state_from_particles(
+            uniform_init(jax.random.key(0), N, BOUNDS).with_ids(), spec)
+        lost_init = int(ps.lost)
+        sph = jax.jit(lambda s: plane_step(s, params, spec), donate_argnums=0)
+        ps = sph(sph(ps))  # compile + warm
+        per, ps = time_chained(sph, ps, FRAMES)
+        sph_elapsed = per * FRAMES
+        RESULTS["value"] = FRAMES * N / sph_elapsed
+        RESULTS["vs_baseline"] = RESULTS["value"] / 1e9
+        RESULTS["sph_ms_per_frame"] = round(per * 1e3, 2)
+        RESULTS["lost_at_init"] = lost_init
+        # lossless contract: must be 0
+        RESULTS["lost_while_stepping"] = int(ps.lost) - lost_init
+
+    run_section("headline", 480, sec_headline)
+
+    def sec_phases():
+        frame_ms = RESULTS.get("sph_ms_per_frame", 0.0)
+        RESULTS["phases"] = measure_phases(spec, params, frame_ms)
+
+    run_section("phases", 300, sec_phases)
+
+    # Second headline row (VERDICT r2 #6): the settle-SAFE DEFAULT configuration
+    # (capacity 128, classic layout) measured in the regime it exists for — AT
+    # EQUILIBRIUM.  Run the fluid to its settled pool state, then time frames.
+    def sec_settled():
+        spec128 = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=128)
+        ps128 = plane_state_from_particles(
+            uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec128)
+        lost128_init = int(ps128.lost)
+        sph128 = jax.jit(lambda s: plane_step(s, params, spec128),
+                         donate_argnums=0)
+        ps128 = sph128(sph128(ps128))
+        for _ in range(SETTLE_FRAMES):
+            ps128 = sph128(ps128)
+        hsync(ps128.px)
+        per128, ps128 = time_chained(sph128, ps128, 20)
+        RESULTS["settled_ms_per_frame_c128"] = round(per128 * 1e3, 2)
+        RESULTS["settled_steps_per_sec_c128"] = round(N / per128)
+        RESULTS["settled_lost_c128"] = int(ps128.lost) - lost128_init
+
+    run_section("settled", 360, sec_settled)
+
+    # Secondary: 1080p point-splat of 1M sprites from the PRODUCTION state — the
+    # plane-resident render needs NO binning (the planes feed the MXU patch
+    # rasterizer directly).  In-jit x R_INJIT over jostled states, checksum out.
+    rspec = RenderSpec(width=RENDER_WH[0], height=RENDER_WH[1], max_radius_px=2)
+    rparams = params._replace(particle_size=jnp.float32(2.0))
+
+    def sec_splat():
+        import dataclasses as _dc
+        from rust_particle_system_tpu.ops.pallas.rebin import SENTINEL as _SEN
+
+        rs0 = plane_state_from_particles(
+            uniform_init(jax.random.key(50), N, BOUNDS).with_ids(), spec)
+        rlive = rs0.px < 0.5 * _SEN
+
+        @jax.jit
+        def splatR(rpx, rpy, rvx, rvy, base):
+            def one(i, acc):
+                eps = 0.003 * jnp.float32(i) + base
+                psr = _dc.replace(
+                    rs0,
+                    px=jnp.where(rlive, rpx + eps, _SEN),
+                    py=jnp.where(rlive, rpy + eps, _SEN),
+                    vx=rvx, vy=rvy)
+                img = render_plane_state(psr, rparams, spec, rspec,
+                                         bounds_static=BOUNDS)
+                return acc + jnp.sum(img[::64, ::64, 0])
+
+            return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
+
+        hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
+        RESULTS["splat_1080p_ms"] = round(
+            (time.perf_counter() - t0) / R_INJIT * 1e3, 3)
+
+    run_section("splat", 240, sec_splat)
+
+    # Secondary: fused step + render p50 frame time (the BASELINE.json p50
+    # metric) — physics AND 1080p image from the planes, zero binning work.
+    def sec_fused():
+        fused = jax.jit(
+            lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS),
+            donate_argnums=0,
+        )
+        fps2 = plane_state_from_particles(
+            uniform_init(jax.random.key(2), N, BOUNDS).with_ids(), spec)
+        fps2, img = fused(fps2)
+        fps2, img = fused(fps2)
+        hsync(img)
+        t0 = time.perf_counter()
+        for _ in range(FUSED_REPS):
+            fps2, img = fused(fps2)
+        hsync((fps2.px, img))
+        RESULTS["fused_frame_ms"] = round(
+            (time.perf_counter() - t0) / FUSED_REPS * 1e3, 2)
+
+    run_section("fused", 240, sec_fused)
+
+    # Pair-work efficiency (VERDICT r1 #2): issued slot-pairs per walk vs pairs
+    # actually within the smoothing radius.
+    def sec_pair_efficiency():
+        issued, useful = pair_efficiency(
+            spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
+        RESULTS["pairs_issued_per_walk"] = issued
+        RESULTS["pairs_useful_per_walk"] = useful
+        RESULTS["pair_waste_ratio"] = round(issued / max(useful, 1), 2)
+
+    run_section("pair_efficiency", 120, sec_pair_efficiency)
+
+    # Secondary: config-2 flow-field fused integrate at 1M, scanned (one dispatch
+    # per 100 frames — host dispatch costs ~8 ms/frame on this runtime, which
+    # would otherwise dominate an elementwise step).
+    def sec_flow():
+        from rust_particle_system_tpu.runtime.simulation import run_frames
+
+        fparams = make_flow_params(bounds=BOUNDS)
+        fstate = uniform_init(jax.random.key(1), N, BOUNDS)
+        fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
+        hsync(fstate.pos)
+        t0 = time.perf_counter()
+        fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
+        hsync(fstate.pos)
+        RESULTS["flow_steps_per_sec"] = round(
+            FLOW_FRAMES * N / (time.perf_counter() - t0))
+
+    run_section("flow", 90, sec_flow)
+
+    if not FULL:
+        return
+
+    # ------------------------------------------------------------------
+    # RPS_BENCH_FULL=1 extras — each costs a fresh cold Mosaic compile.
+    # ------------------------------------------------------------------
+
+    # Pipeline fallback rows: the production default is rebin v6 + the fused
+    # in-kernel frame tail; these rows keep the alternatives honest.
+    def mk_candidate(label, v, ft):
+        def sec():
             stepc = jax.jit(
-                lambda s, v=v, ft=ft: plane_step(s, params, spec, variant=v,
-                                                 fuse_tail=ft),
+                lambda s: plane_step(s, params, spec, variant=v, fuse_tail=ft),
                 donate_argnums=0)
             psc = plane_state_from_particles(
                 uniform_init(jax.random.key(9), N, BOUNDS).with_ids(), spec)
             lc0 = int(psc.lost)
             psc = stepc(stepc(psc))
             perc, psc = time_chained(stepc, psc, max(FRAMES // 2, 2))
-            candidates[f"sph_ms_per_frame_{label}"] = round(perc * 1e3, 2)
-            candidates[f"lost_{label}"] = int(psc.lost) - lc0
-        except Exception as e:  # noqa: BLE001 — record, never break the headline
-            candidates[f"sph_ms_per_frame_{label}"] = f"failed: {type(e).__name__}"
+            RESULTS[f"sph_ms_per_frame_{label}"] = round(perc * 1e3, 2)
+            RESULTS[f"lost_{label}"] = int(psc.lost) - lc0
+        return sec
 
-    # Pair-work efficiency (VERDICT r1 #2): issued slot-pairs per walk vs pairs
-    # actually within the smoothing radius.
-    _progress("pair_efficiency...")
-    issued, useful = pair_efficiency(
-        spec, uniform_init(jax.random.key(7), N, BOUNDS).pos)
+    for label, v, ft in (("v5_xla_tail", 5, False), ("v6_xla_tail", 6, False)):
+        run_section(f"candidate_{label}", 300, mk_candidate(label, v, ft))
 
-    # Per-phase breakdown (VERDICT r1 #7) of the plane pipeline.
-    _progress("phases...")
-    phases = measure_phases(spec, params, sph_elapsed / FRAMES * 1e3)
-
-    # Second headline row (VERDICT r2 #6): the settle-SAFE DEFAULT configuration
-    # (capacity 128, classic layout) measured in the regime it exists for — AT
-    # EQUILIBRIUM.  Run the fluid to its settled pool state, then time frames.
-    _progress("settled-state (settle-safe default C=128)...")
-    spec128 = GridSpec.from_bounds(BOUNDS, CELL_SIZE, capacity=128)
-    ps128 = plane_state_from_particles(
-        uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec128)
-    lost128_init = int(ps128.lost)
-    sph128 = jax.jit(lambda s: plane_step(s, params, spec128), donate_argnums=0)
-    ps128 = sph128(sph128(ps128))
-    for _ in range(SETTLE_FRAMES):
-        ps128 = sph128(ps128)
-    hsync(ps128.px)
-    per128, ps128 = time_chained(sph128, ps128, 20)
-    settled_ms = per128 * 1e3
-    lost128 = int(ps128.lost) - lost128_init
-
-    # Secondary: config-2 flow-field fused integrate at 1M, scanned (one dispatch
-    # per 100 frames — host dispatch costs ~8 ms/frame on this runtime, which
-    # would otherwise dominate an elementwise step).
-    from rust_particle_system_tpu.runtime.simulation import run_frames
-
-    _progress("flow...")
-    fparams = make_flow_params(bounds=BOUNDS)
-    fstate = uniform_init(jax.random.key(1), N, BOUNDS)
-    fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
-    hsync(fstate.pos)
-    t0 = time.perf_counter()
-    fstate = run_frames(flow_step, fstate, fparams, FLOW_FRAMES)
-    hsync(fstate.pos)
-    flow_elapsed = time.perf_counter() - t0
-    flow_rate = FLOW_FRAMES * N / flow_elapsed
-
-    # Secondary: fused step + render p50 frame time (the BASELINE.json p50
-    # metric) — physics AND 1080p image from the planes, zero binning work.
-    rspec = RenderSpec(width=RENDER_WH[0], height=RENDER_WH[1], max_radius_px=2)
-    rparams = params._replace(particle_size=jnp.float32(2.0))
-    fused = jax.jit(
-        lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS),
-        donate_argnums=0,
-    )
-    _progress("fused...")
-    fps2 = plane_state_from_particles(
-        uniform_init(jax.random.key(2), N, BOUNDS).with_ids(), spec)
-    fps2, img = fused(fps2)
-    fps2, img = fused(fps2)
-    hsync(img)
-    t0 = time.perf_counter()
-    for _ in range(FUSED_REPS):
-        fps2, img = fused(fps2)
-    hsync((fps2.px, img))
-    p50_frame_ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
-
-    # Alternative row: the classic WIDE patch (margin 4, 32-lane rows) — the
-    # default is now the tight patch with in-kernel center clamping (drifted
-    # sprites displace instead of clipping; render/splat_planes.py).
-    fused3 = jax.jit(
-        lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS,
-                              patch_margin=4),
-        donate_argnums=0,
-    )
-    _progress("fused (wide margin-4 patch)...")
-    fps3 = plane_state_from_particles(
-        uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec)
-    fps3, img = fused3(fps3)
-    fps3, img = fused3(fps3)
-    hsync(img)
-    t0 = time.perf_counter()
-    for _ in range(FUSED_REPS):
+    # The classic WIDE patch (margin 4, 32-lane rows) — the default is the tight
+    # patch with in-kernel center clamping (render/splat_planes.py).
+    def sec_fused_margin4():
+        fused3 = jax.jit(
+            lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS,
+                                  patch_margin=4),
+            donate_argnums=0,
+        )
+        fps3 = plane_state_from_particles(
+            uniform_init(jax.random.key(3), N, BOUNDS).with_ids(), spec)
         fps3, img = fused3(fps3)
-    hsync((fps3.px, img))
-    fused_margin3_ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
-
-    # Secondary: 1080p point-splat of 1M sprites from the PRODUCTION state — the
-    # plane-resident render needs NO binning (the planes feed the MXU patch
-    # rasterizer directly).  In-jit x R_INJIT over jostled states, checksum output.
-    _progress("splat (plane-resident)...")
-    import dataclasses as _dc
-    from rust_particle_system_tpu.ops.pallas.rebin import SENTINEL as _SEN
-
-    rs0 = plane_state_from_particles(
-        uniform_init(jax.random.key(50), N, BOUNDS).with_ids(), spec)
-    rlive = rs0.px < 0.5 * _SEN
-
-    @jax.jit
-    def splatR(rpx, rpy, rvx, rvy, base):
-        def one(i, acc):
-            eps = 0.003 * jnp.float32(i) + base
-            psr = _dc.replace(
-                rs0,
-                px=jnp.where(rlive, rpx + eps, _SEN),
-                py=jnp.where(rlive, rpy + eps, _SEN),
-                vx=rvx, vy=rvy)
-            img = render_plane_state(psr, rparams, spec, rspec,
-                                     bounds_static=BOUNDS)
-            return acc + jnp.sum(img[::64, ::64, 0])
-
-        return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
-
-    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
-    render_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
-
-    # Fallback row: the v1 spread/fold strip kernel (pre-v2 production path;
-    # v2 keeps the patch-row index on sublanes and routes cells to lane
-    # segments with one-hot dots — protos/time_splat6.py).  v2 only engages at
-    # geometries it fits (patch <= 32 px, group span <= 128 cols), so v1 stays
-    # the fallback and this row tracks its cost.
-    _progress("splat fallback v1 kernel...")
-    try:
-        import rust_particle_system_tpu.render.splat_planes as _sp
-
-        _sp._KERNEL_V2 = False
-        # read at trace time: every jit layer above the kernel must retrace
-        # (nested jits inline into the outer executable).
-        splatR.clear_cache()
-        render_plane_state.clear_cache()
-        _sp.splat_from_planes.clear_cache()
-        hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0)))
+        fps3, img = fused3(fps3)
+        hsync(img)
         t0 = time.perf_counter()
-        hsync(splatR(rs0.px, rs0.py, rs0.vx, rs0.vy, jnp.float32(0.0101)))
-        render_v1_ms = round((time.perf_counter() - t0) / R_INJIT * 1e3, 3)
-    except Exception as e:  # noqa: BLE001
-        render_v1_ms = f"failed: {type(e).__name__}"
-    finally:
-        import rust_particle_system_tpu.render.splat_planes as _sp
+        for _ in range(FUSED_REPS):
+            fps3, img = fused3(fps3)
+        hsync((fps3.px, img))
+        RESULTS["fused_frame_margin4_ms"] = round(
+            (time.perf_counter() - t0) / FUSED_REPS * 1e3, 2)
 
-        _sp._KERNEL_V2 = True
-        splatR.clear_cache()
-        render_plane_state.clear_cache()
-        _sp.splat_from_planes.clear_cache()
+    run_section("fused_margin4", 240, sec_fused_margin4)
 
     # Raw-positions -> image path (one sort + gather + plane build + rasterize),
     # for users whose positions do NOT already live in planes.
-    from rust_particle_system_tpu.core.state import make_state
-    from rust_particle_system_tpu.ops.pallas.sph_step import render_state_planes
-
-    _progress("splat (raw positions)...")
-    raw0 = uniform_init(jax.random.key(70), N, BOUNDS)
-    x0s, x1s, y0s, y1s = BOUNDS
-
-    @jax.jit
-    def splatRraw(rpos, color, base):
-        def one(i, acc):
-            eps = 0.003 * jnp.float32(i) + base
-            p = jnp.stack([jnp.clip(rpos[:, 0] + eps, x0s, x1s),
-                           jnp.clip(rpos[:, 1] + eps, y0s, y1s)], axis=-1)
-            img = render_state_planes(
-                make_state(p, color=color), rparams, spec, rspec,
-                bounds_static=BOUNDS,
-            )
-            return acc + jnp.sum(img[::64, ::64, 0])
-
-        return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
-
-    hsync(splatRraw(raw0.pos, raw0.color, jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    hsync(splatRraw(raw0.pos, raw0.color, jnp.float32(0.0101)))
-    render_raw_ms = (time.perf_counter() - t0) / R_INJIT * 1e3
-
-    print(
-        json.dumps(
-            {
-                "metric": "particle_steps_per_sec_per_chip",
-                "value": sph_rate,
-                "unit": "steps/s",
-                "vs_baseline": sph_rate / 1e9,
-                "n_particles": N,
-                "frames": FRAMES,
-                "sph_ms_per_frame": round(sph_elapsed / FRAMES * 1e3, 2),
-                "lost_at_init": lost_init,
-                "lost_while_stepping": lost_stepping,
-                "settled_ms_per_frame_c128": round(settled_ms, 2),
-                "settled_steps_per_sec_c128": round(N / settled_ms * 1e3),
-                "settled_lost_c128": lost128,
-                "fused_frame_ms": round(p50_frame_ms, 2),
-                "fused_frame_margin4_ms": round(fused_margin3_ms, 2),
-                "flow_steps_per_sec": round(flow_rate),
-                "splat_1080p_ms": round(render_ms, 3),
-                "splat_1080p_ms_v1_kernel": render_v1_ms,
-                "splat_1080p_raw_ms": round(render_raw_ms, 3),
-                "pairs_issued_per_walk": issued,
-                "pairs_useful_per_walk": useful,
-                "pair_waste_ratio": round(issued / max(useful, 1), 2),
-                "phases": phases,
-                **candidates,
-                "backend": "pallas_plane_resident_pack2",
-                "device": str(jax.devices()[0]),
-            }
+    def sec_splat_raw():
+        from rust_particle_system_tpu.ops.pallas.sph_step import (
+            render_state_planes,
         )
-    )
+
+        raw0 = uniform_init(jax.random.key(70), N, BOUNDS)
+        x0s, x1s, y0s, y1s = BOUNDS
+
+        @jax.jit
+        def splatRraw(rpos, color, base):
+            def one(i, acc):
+                eps = 0.003 * jnp.float32(i) + base
+                p = jnp.stack([jnp.clip(rpos[:, 0] + eps, x0s, x1s),
+                               jnp.clip(rpos[:, 1] + eps, y0s, y1s)], axis=-1)
+                img = render_state_planes(
+                    make_state(p, color=color), rparams, spec, rspec,
+                    bounds_static=BOUNDS,
+                )
+                return acc + jnp.sum(img[::64, ::64, 0])
+
+            return jax.lax.fori_loop(0, R_INJIT, one, jnp.float32(0))
+
+        hsync(splatRraw(raw0.pos, raw0.color, jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        hsync(splatRraw(raw0.pos, raw0.color, jnp.float32(0.0101)))
+        RESULTS["splat_1080p_raw_ms"] = round(
+            (time.perf_counter() - t0) / R_INJIT * 1e3, 3)
+
+    run_section("splat_raw", 240, sec_splat_raw)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        emit()
