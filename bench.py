@@ -139,11 +139,13 @@ class SectionTimeout(Exception):
 _DEADLINE = time.monotonic() + float(os.environ.get("RPS_BENCH_DEADLINE_S", "900"))
 
 
-def run_section(name: str, budget_s: float, fn) -> bool:
+def run_section(name: str, budget_s: float, fn, _retry: bool = True) -> bool:
     """Run ``fn`` (which writes its fields into RESULTS) under a SIGALRM
     wall-clock budget, clipped to the global deadline.  Any timeout or exception
     is recorded in RESULTS["sections"] and the bench moves on — a stalled Mosaic
-    compile in one section can no longer forfeit the numbers of the others."""
+    compile in one section can no longer forfeit the numbers of the others.
+    Transient tunnel errors (the remote-compile HTTP channel drops mid-response
+    now and then) get ONE retry."""
     remaining = _DEADLINE - time.monotonic()
     if remaining <= 5:
         RESULTS["sections"][name] = "skipped_deadline"
@@ -167,8 +169,17 @@ def run_section(name: str, budget_s: float, fn) -> bool:
         _progress(f"{name}: TIMED OUT after {budget:.0f}s")
         return False
     except Exception as e:  # noqa: BLE001 — record, never break the bench
-        RESULTS["sections"][name] = f"failed: {type(e).__name__}: {e}"[:300]
-        _progress(f"{name}: FAILED ({type(e).__name__}: {e})")
+        msg = f"{type(e).__name__}: {e}"
+        transient = any(s in msg for s in
+                        ("remote_compile", "read body", "UNAVAILABLE",
+                         "DEADLINE_EXCEEDED", "Socket closed"))
+        if _retry and transient:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+            _progress(f"{name}: transient failure, retrying ({msg[:120]})")
+            return run_section(name, budget_s, fn, _retry=False)
+        RESULTS["sections"][name] = f"failed: {msg}"[:300]
+        _progress(f"{name}: FAILED ({msg})")
         return False
     finally:
         signal.setitimer(signal.ITIMER_REAL, 0)
