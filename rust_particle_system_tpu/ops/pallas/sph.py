@@ -93,6 +93,20 @@ def _seg_width(wt: int, tc: int, limit: int = 128) -> int:
 
 CHUNK_OVERRIDE = 0  # nonzero: force the own-slot gating chunk width (experiments)
 
+# Non-uniform own-slot gating chunks: per-SUB-CELL slot split points (fractions
+# of the sub-cell slot count), replicated across the sub-cells of the lane row.
+# Rationale (measured, protos/time_forces3.py at 1M): cells are front-loaded —
+# live-slot probability by slot index is ~[1.0 .. 0.85 @ c/2, 0.07 @ 3c/4,
+# 0.0 @ 7c/8] fresh-binned and stays tail-dead after stepping — so fine chunks
+# only pay off in the tail half, while uniform fine chunks (8 lanes) lose to
+# per-branch overhead.  None = uniform chunks of _own_chunk() lanes.
+# Default: head chunk [0, 5c/8) runs unsplit (nearly always live), tail
+# eighths gate individually.  Measured on-chip at 1M/pack2/C=64 (fresh /
+# 40-frame-stepped): 25.93/25.65 ms (uniform 32) -> 22.55/22.78 with this
+# pattern; uniform 16 got 23.16/23.82, uniform 8 lost to branch overhead
+# (26.2).  Settled/air tiles skip all chunks either way.
+CHUNK_SPLITS: tuple | None = (0.0, 0.625, 0.75, 0.875, 1.0)
+
 # Defer the cross-lane accumulator reductions to once per walk.  The pair bodies
 # historically reduced every accumulator over the 128 neighbor lanes at EVERY
 # 3x3 offset (jnp.sum(axis=-1) per quantity per offset = 30 lane-reductions per
@@ -156,7 +170,16 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
             ) + tuple(own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own))
             cp_own = own_full[0].shape[-1]
             ch_w = _own_chunk(cp_own)
-            if ch_w >= cp_own or cp_own % ch_w:
+            if CHUNK_SPLITS is not None:
+                # Non-uniform chunks, replicated per sub-cell (see CHUNK_SPLITS).
+                nsubc = 2 if n_dx == 2 else 1
+                sub_w = cp_own // nsubc
+                pts = sorted({min(sub_w, max(0, int(round(f * sub_w))))
+                              for f in CHUNK_SPLITS} | {0, sub_w})
+                chunks = [slice(s * sub_w + a, s * sub_w + b)
+                          for s in range(nsubc)
+                          for a, b in zip(pts[:-1], pts[1:])]
+            elif ch_w >= cp_own or cp_own % ch_w:
                 chunks = [slice(0, cp_own)]
             else:
                 chunks = [slice(k * ch_w, (k + 1) * ch_w)
