@@ -41,3 +41,38 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main_round4():
+    """Round-4 addendum: the 2D-repro above now COMPILES (toolchain updated),
+    but a sharper instance of the same class remains: casting a 2D array to
+    bf16 and THEN adding an axis ([:, :, None] / [:, None, :]) CRASHES the
+    compile helper (HTTP 500, subprocess exit 1 — not a graceful reject).
+    Newaxis-first-then-cast compiles and runs.  Bisect: /tmp/bf16_shape2.py,
+    2026-08-20; rule applied in ops/pallas/sph.py's bf16 pair bodies."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    BF = jnp.bfloat16
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = jax.lax.slice(a_ref[...], (0, 0), (8, 40))
+        o_ref[...] = (a.astype(BF)[:, :, None]
+                      * b_ref[...].astype(BF)[:, None, :]).astype(jnp.float32)
+
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 40, 128), jnp.float32),
+        )(jnp.ones((8, 128), jnp.float32), jnp.ones((8, 128), jnp.float32))
+        jax.block_until_ready(out)
+        print("OK — cast-2D-then-newaxis now compiles too; drop the rule")
+    except Exception as e:  # noqa: BLE001
+        print("STILL CRASHES (use newaxis-then-cast):", type(e).__name__,
+              str(e)[:160])
+
+
+if __name__ == "__main__":
+    main()
+    main_round4()
