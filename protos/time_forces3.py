@@ -65,7 +65,10 @@ hsync(jnp.zeros((8,)) + 1.0)  # absorb the tunnel's first-pull tax
 ps0 = plane_state_from_particles(uniform_init(jax.random.key(0), N, BOUNDS),
                                  spec)
 step = jax.jit(lambda s: plane_step(s, params, spec), donate_argnums=0)
-ps = step(step(ps0))
+# donate a FRESH copy: ps0 stays alive for the fresh-binned stats/timing rows
+ps = plane_state_from_particles(uniform_init(jax.random.key(0), N, BOUNDS),
+                                spec)
+ps = step(step(ps))
 for _ in range(FRAMES - 2):
     ps = step(ps)
 hsync(ps.px)
