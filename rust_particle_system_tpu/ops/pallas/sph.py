@@ -105,6 +105,12 @@ CHUNK_OVERRIDE = 0  # nonzero: force the own-slot gating chunk width (experiment
 # 40-frame-stepped): 25.93/25.65 ms (uniform 32) -> 22.55/22.78 with this
 # pattern; uniform 16 got 23.16/23.82, uniform 8 lost to branch overhead
 # (26.2).  Settled/air tiles skip all chunks either way.
+#
+# PAIR-PACKED LAYOUT ONLY (n_dx == 2): on the classic C=128 settle-safe layout
+# the same splits REGRESSED the settled equilibrium 30.5 -> 37.1 ms (round-4
+# bench): pool cells run ~101/128 occupancy, so the dead [7/8, 1) tail chunk
+# breaks the all-live single-branch fast path and the surviving 80/16-wide
+# lane slices are tile-misaligned.  Classic keeps uniform _own_chunk() chunks.
 CHUNK_SPLITS: tuple | None = (0.0, 0.625, 0.75, 0.875, 1.0)
 
 # Defer the cross-lane accumulator reductions to once per walk.  The pair bodies
@@ -170,9 +176,9 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
             ) + tuple(own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own))
             cp_own = own_full[0].shape[-1]
             ch_w = _own_chunk(cp_own)
-            if CHUNK_SPLITS is not None:
+            if CHUNK_SPLITS is not None and n_dx == 2:
                 # Non-uniform chunks, replicated per sub-cell (see CHUNK_SPLITS).
-                nsubc = 2 if n_dx == 2 else 1
+                nsubc = 2
                 sub_w = cp_own // nsubc
                 pts = sorted({min(sub_w, max(0, int(round(f * sub_w))))
                               for f in CHUNK_SPLITS} | {0, sub_w})

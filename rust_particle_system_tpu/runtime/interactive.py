@@ -21,6 +21,9 @@ Commands (also shown by ``help``):
     autorender on|off  write a PNG automatically after every `run`
     video PATH N [K]   advance N frames, rendering every K-th (default 1) into an
                        animated clip at PATH (.gif/.webp; .mp4 with ffmpeg)
+    watch N [K] [COLS] LIVE view: advance N frames, drawing every K-th (default 1)
+                       into the terminal as ANSI half-block art (default 96 cols) —
+                       the headless analog of the reference's live window
     quit               exit
 
 Scriptable: pipe commands on stdin (used by tests/test_runtime.py), exactly like
@@ -140,6 +143,32 @@ class Session:
                 vw.add(np.asarray(to_srgb_u8(self.sim.render(camera=self.camera))))
         dts = time.perf_counter() - t0
         self._print(f"video ({-(-frames // every)} frames, {dts:.1f}s) -> {path}")
+
+    def cmd_watch(self, arg):
+        """watch N [K] [COLS] — live terminal view (reference: the redrawing
+        window of src/main.rs:73-80, here as ANSI half-block frames)."""
+        parts = arg.split()
+        if not 1 <= len(parts) <= 3:
+            self._print("usage: watch N [EVERY] [COLS]")
+            return
+        from ..utils.term import CLEAR, HOME, ansi_frame
+
+        frames = int(parts[0])
+        every = int(parts[1]) if len(parts) >= 2 else 1
+        cols = int(parts[2]) if len(parts) >= 3 else 96
+        self.out.write(CLEAR)
+        done = 0
+        t0 = time.perf_counter()
+        while done < frames:
+            k = min(every, frames - done)
+            self.sim.run(k)
+            done += k
+            img = np.asarray(to_srgb_u8(self.sim.render(camera=self.camera)))
+            self.out.write(HOME + ansi_frame(img, cols)
+                           + f"\nframe {int(self.sim.state.frame)}\n")
+            self.out.flush()
+        dts = time.perf_counter() - t0
+        self._print(f"watched {done} frames ({dts:.1f}s)")
 
     def cmd_autorender(self, arg):
         self.autorender = arg.strip().lower() in ("on", "true", "1")

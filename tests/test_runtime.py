@@ -330,3 +330,33 @@ def test_interactive_video_command(tmp_path):
     with Image.open(clip) as im:
         assert im.n_frames == 2
     assert "video" in out.getvalue()
+
+
+def test_ansi_frame_shape_and_colors():
+    import numpy as np
+
+    from rust_particle_system_tpu.utils.term import ansi_frame
+
+    img = np.zeros((54, 96, 3), np.uint8)
+    img[:27] = (255, 0, 0)   # top half red
+    img[27:] = (0, 0, 255)   # bottom half blue
+    s = ansi_frame(img, cols=32)
+    lines = s.split("\n")
+    # aspect preserved: rows = cols * h/w = 18 pixel rows -> 9 text lines
+    assert len(lines) == 9
+    assert "\x1b[38;2;255;0;0m" in lines[0]
+    assert "\x1b[48;2;0;0;255m" in lines[-1]
+    assert all(line.endswith("\x1b[0m") for line in lines)
+
+
+def test_interactive_watch_command():
+    import io
+
+    from rust_particle_system_tpu.runtime.interactive import Session
+
+    out = io.StringIO()
+    s = Session("attractor", n=32, out=out)
+    assert s.dispatch("watch 4 2 32")
+    text = out.getvalue()
+    assert "▀" in text          # half-block frames were drawn
+    assert "watched 4 frames" in text
