@@ -485,6 +485,35 @@ def main() -> None:
 
     run_section("flow", 90, sec_flow)
 
+    # 16M particles on the PRODUCTION plane-resident pipeline (BASELINE.json
+    # config 5's single-chip leg; VERDICT r3 #4).  Domain scales 4x per axis so
+    # density (and per-cell occupancy) stays at the 1M design point.  Runs only
+    # when the global deadline leaves room — it is the least timing-sensitive
+    # row and the most expensive to compile cold.
+    def sec_16m():
+        n16 = 16 * N if not SMOKE else 4 * N
+        scale = (n16 / N) ** 0.5
+        b16 = tuple(b * scale for b in BOUNDS)
+        spec16 = GridSpec.from_bounds(b16, CELL_SIZE, capacity=64,
+                                      cell_aspect=1, pack2=True)
+        ps16 = plane_state_from_particles(
+            uniform_init(jax.random.key(4), n16, b16).with_ids(), spec16)
+        lost16_init = int(ps16.lost)
+        params16 = rps.make_params(bounds=b16, gravity=300.0, shader_delay=0)
+        sph16 = jax.jit(lambda s: plane_step(s, params16, spec16),
+                        donate_argnums=0)
+        ps16 = sph16(sph16(ps16))
+        per16, ps16 = time_chained(sph16, ps16, 10)
+        RESULTS["steps_per_sec_16m"] = round(n16 / per16)
+        RESULTS["sph_16m_ms_per_frame"] = round(per16 * 1e3, 1)
+        RESULTS["lost_16m_stepping"] = int(ps16.lost) - lost16_init
+        RESULTS["n_16m"] = n16
+
+    if _DEADLINE - time.monotonic() > 240:
+        run_section("sixteen_m", 420, sec_16m)
+    else:
+        RESULTS["sections"]["sixteen_m"] = "skipped_deadline"
+
     if not FULL:
         return
 
