@@ -536,7 +536,9 @@ def main() -> None:
         RESULTS["lost_16m_stepping"] = int(ps16.lost) - lost16_init
         RESULTS["n_16m"] = n16
 
-    if _DEADLINE - time.monotonic() > 240:
+    # The section takes ~360 s even with a warm compile cache (16M init
+    # binning + chained frames), so only start it when it can FINISH.
+    if _DEADLINE - time.monotonic() > 420:
         run_section("sixteen_m", 420, sec_16m)
     else:
         RESULTS["sections"]["sixteen_m"] = "skipped_deadline"
