@@ -112,6 +112,9 @@ CHUNK_OVERRIDE = 0  # nonzero: force the own-slot gating chunk width (experiment
 # breaks the all-live single-branch fast path and the surviving 80/16-wide
 # lane slices are tile-misaligned.  Classic keeps uniform _own_chunk() chunks.
 CHUNK_SPLITS: tuple | None = (0.0, 0.625, 0.75, 0.875, 1.0)
+# Experiments only: apply CHUNK_SPLITS to the classic (n_dx=3) layout too
+# (protos/time_forces6.py probes 32-aligned classic patterns).
+CHUNK_SPLITS_CLASSIC = False
 
 # Defer the cross-lane accumulator reductions to once per walk.  The pair bodies
 # historically reduced every accumulator over the 128 neighbor lanes at EVERY
@@ -176,9 +179,9 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
             ) + tuple(own_ins[k][0, 0, pl.ds(c0, tc), :] for k in range(n_own))
             cp_own = own_full[0].shape[-1]
             ch_w = _own_chunk(cp_own)
-            if CHUNK_SPLITS is not None and n_dx == 2:
+            if CHUNK_SPLITS is not None and (n_dx == 2 or CHUNK_SPLITS_CLASSIC):
                 # Non-uniform chunks, replicated per sub-cell (see CHUNK_SPLITS).
-                nsubc = 2
+                nsubc = 2 if n_dx == 2 else 1
                 sub_w = cp_own // nsubc
                 pts = sorted({min(sub_w, max(0, int(round(f * sub_w))))
                               for f in CHUNK_SPLITS} | {0, sub_w})
