@@ -159,3 +159,54 @@ def test_resident_step_matches_original_order(rng):
             np.asarray(back.color), np.asarray(s_plain.color), rtol=1e-2, atol=1e-2
         )
         assert int(back.frame) == int(s_plain.frame)
+
+
+def test_chunk_split_gating_is_identical_to_ungated():
+    """The occupancy-gating chunk pattern must be a pure skip optimization:
+    walk outputs with the production CHUNK_SPLITS, with uniform chunks, and
+    with a single full-width chunk agree bitwise (gated-away chunks hold only
+    dead slots, whose outputs are never read back live)."""
+    import rust_particle_system_tpu.ops.pallas.sph as sphmod
+    from rust_particle_system_tpu.core.params import make_params
+    from rust_particle_system_tpu.core.state import make_state
+    from rust_particle_system_tpu.ops.grid import GridSpec
+    from rust_particle_system_tpu.ops.pallas.rebin import SENTINEL
+    from rust_particle_system_tpu.ops.pallas.resident import (
+        plane_state_from_particles,
+    )
+    from rust_particle_system_tpu.ops.pallas.sph_step import _forces_from_cells
+
+    bounds = (-72.0, 72.0, -36.0, 36.0)
+    spec = GridSpec.from_bounds(bounds, 9.0, capacity=64, cell_aspect=1,
+                                pack2=True)
+    params = make_params(bounds=bounds, gravity=300.0, shader_delay=0)
+    key = jax.random.key(11)
+    kx, ky = jax.random.split(key)
+    n = 900
+    pos = jnp.stack(
+        [jax.random.uniform(kx, (n,), minval=bounds[0], maxval=bounds[1]),
+         jax.random.uniform(ky, (n,), minval=bounds[2], maxval=bounds[3])],
+        axis=-1)
+    ps = plane_state_from_particles(make_state(pos), spec)
+    live = np.asarray(ps.px < 0.5 * SENTINEL)
+
+    saved = (sphmod.CHUNK_SPLITS, sphmod.CHUNK_OVERRIDE)
+    outs = {}
+    try:
+        for label, splits, override in (
+            ("production", (0.0, 0.625, 0.75, 0.875, 1.0), 0),
+            ("uniform16", None, 16),
+            ("fullwidth", None, 128),
+        ):
+            sphmod.CHUNK_SPLITS = splits
+            sphmod.CHUNK_OVERRIDE = override
+            nvx, nvy = _forces_from_cells(ps.px, ps.py, ps.vx, ps.vy, spec,
+                                          params, True)
+            outs[label] = (np.asarray(nvx), np.asarray(nvy))
+    finally:
+        sphmod.CHUNK_SPLITS, sphmod.CHUNK_OVERRIDE = saved
+
+    ref = outs["fullwidth"]
+    for label in ("production", "uniform16"):
+        for a, b in zip(outs[label], ref):
+            assert np.array_equal(a[live], b[live]), label
