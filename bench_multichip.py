@@ -109,13 +109,22 @@ def main() -> None:
             jax.block_until_ready(sstate.px)
 
         t0 = time.perf_counter()
+        all_diags = []
         for _ in range(args.frames):
             sstate, diags = step(sstate, params)
+            all_diags.append(diags)
             if args.cpu_mesh:
                 jax.block_until_ready(sstate.px)  # CPU collectives need pacing
-            check_plane_diags(diags, expect_particles=live0)
+                check_plane_diags(diags, expect_particles=live0)
+            # On hardware the frames CHAIN (each consumes the last state) and
+            # the diags trees stay on-device: pulling them per frame costs a
+            # host RPC sync per frame (measured 216 -> ~36 ms/frame at 1M,
+            # 1 band) and is pure validation, done after the clock below.
         float(np.asarray(sstate.px[0, 0, 0]))
         elapsed = time.perf_counter() - t0
+        if not args.cpu_mesh:
+            for diags in all_diags:
+                check_plane_diags(diags, expect_particles=live0)
 
         out = {
             "conservation_checked": True,
