@@ -34,6 +34,11 @@ def main() -> None:
                          "(lossless rebin as migration, fused psum composite); "
                          "stream = the round-1 sort+migrate step")
     ap.add_argument("--render", default=None, help="write final distributed frame PNG")
+    ap.add_argument("--capacity", type=int, default=128,
+                    help="grid slots per cell (128 = settle-safe default; "
+                         "64 with --pack2 = the uniform-fast configuration)")
+    ap.add_argument("--pack2", action="store_true",
+                    help="pair-packed force-walk layout (cell_aspect 1)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -72,7 +77,9 @@ def main() -> None:
     bounds = (-xh, xh, -yh, yh)
     params = rps.make_params(bounds=bounds, gravity=300.0, shader_delay=0)
     sspec = make_shard_spec(bounds, cell_size=9.0, n=args.n, n_bands=args.bands,
-                            capacity=128, slack=2.0)
+                            capacity=args.capacity, slack=2.0,
+                            cell_aspect=1 if args.pack2 else None,
+                            pack2=args.pack2)
     mesh = make_band_mesh(args.bands)
 
     kx, ky = jax.random.split(jax.random.key(0))

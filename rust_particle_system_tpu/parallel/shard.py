@@ -76,6 +76,8 @@ def make_shard_spec(
     max_speed: float | None = None,
     dt: float = 0.01,
     mig_rounds: int | None = None,
+    cell_aspect: int | None = None,
+    pack2: bool = False,
 ) -> ShardSpec:
     """Build a ShardSpec; pads the grid height so bands divide it evenly.
 
@@ -84,7 +86,16 @@ def make_shard_spec(
     (the CFL-style guard); or set ``mig_rounds`` explicitly."""
     if capacity is None:
         capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
-    base = GridSpec.from_bounds(bounds, cell_size, capacity)
+    # Layout knobs pass straight through to the grid: the sharded force walks
+    # run the SAME kernels as single-chip (plane_sharded.py), so the uniform-
+    # fast pair-packed configuration (cell_aspect=1, pack2=True, capacity=64)
+    # is available on the mesh too.
+    extra = {}
+    if cell_aspect is not None:
+        extra["cell_aspect"] = cell_aspect
+    if pack2:
+        extra["pack2"] = True
+    base = GridSpec.from_bounds(bounds, cell_size, capacity, **extra)
     rows_per_band = max(1, math.ceil(base.gh / n_bands))
     gh = rows_per_band * n_bands
     grid = dataclasses.replace(base, gh=gh)
