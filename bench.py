@@ -177,7 +177,11 @@ def run_section(name: str, budget_s: float, fn, _retry: bool = True) -> bool:
             signal.setitimer(signal.ITIMER_REAL, 0)
             signal.signal(signal.SIGALRM, old)
             _progress(f"{name}: transient failure, retrying ({msg[:120]})")
-            return run_section(name, budget_s, fn, _retry=False)
+            # Retry on the REMAINING budget, not a fresh one — a section must
+            # never consume ~2x its stated budget (it would eat the headroom
+            # the late 16M section depends on).
+            left = budget - (time.monotonic() - t0)
+            return run_section(name, max(5.0, left), fn, _retry=False)
         RESULTS["sections"][name] = f"failed: {msg}"[:300]
         _progress(f"{name}: FAILED ({msg})")
         return False
@@ -336,14 +340,29 @@ def pair_efficiency(spec, pos):
                 live = np.concatenate(
                     [live.reshape(spec.gh, spec.gw, C),
                      np.zeros((spec.gh, 1, C), bool)], axis=1).reshape(-1, C)
-            rows = live.reshape(-1, 2 * C)  # one A-unit lane row per entry
+            rows = live.reshape(spec.gh, np2, 2 * C)  # A-unit lane rows
+            # The kernel gates per TILE, not per A-unit row: conds take
+            # jnp.max over the whole [tc, chunk] block (ops/pallas/sph.py), so
+            # a chunk runs — for ALL tc rows of the tile — if ANY row has a
+            # live lane there.  Mirror that granularity: pad np2 to the
+            # tile-padded width, group tc consecutive A-units, and count every
+            # row of a running tile-chunk.
+            from rust_particle_system_tpu.ops.pallas.sph import plane_geometry
+
+            _, tcg, wt2 = plane_geometry(np2, 2 * C)
+            if wt2 > np2:
+                rows = np.concatenate(
+                    [rows, np.zeros((spec.gh, wt2 - np2, 2 * C), bool)],
+                    axis=1)
+            tiles = rows.reshape(spec.gh * (wt2 // tcg), tcg, 2 * C)
             pts = sorted({min(C, max(0, int(round(f * C))))
                           for f in _sph.CHUNK_SPLITS} | {0, C})
             run_lanes = 0
             for s in (0, 1):
                 for a, b in zip(pts[:-1], pts[1:]):
-                    seg = rows[:, s * C + a : s * C + b]
-                    run_lanes += int(seg.any(axis=1).sum()) * (b - a)
+                    seg = tiles[:, :, s * C + a : s * C + b]
+                    runs = seg.any(axis=(1, 2))  # the kernel's pl.when cond
+                    run_lanes += int(runs.sum()) * tcg * (b - a)
             issued_eff = run_lanes * 6 * 128
             return issued, issued_eff, useful
     else:

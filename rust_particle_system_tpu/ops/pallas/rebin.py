@@ -453,11 +453,17 @@ def _make_kernel_v6(C: int, k: int, gw: int, gh: int, GWP: int, x_min: float,
     All rank prefixes are [GWP, C] x triu[C, C] MXU matmuls (0/1 exact); the
     down-group window rank adds the up-group's kept count, reproducing v4/v5's
     single [*, 2C] window prefix bit-for-bit.
+
+    ``off_ref`` (SMEM, int32[1]) holds the slab's first GLOBAL grid row: 0 on a
+    single chip, ``band * R`` on the band-sharded mesh (parallel/plane_sharded).
+    Every row compare (edge guards, destination-row tests) is in global rows, so
+    a band slab program sees bit-identical inputs to the same row's full-plane
+    program — the sharded rebin output equals the single-chip one exactly.
     """
     W2 = 2 * C
     HI = V4_PRECISION
 
-    def kernel(ut_ref, *refs):
+    def kernel(off_ref, ut_ref, *refs):
         # refs layout: px views (r-2..r+1), py views (r-2..r+1),
         # value-channel views (r-1, r, r+1) per channel c in [2, k),
         # then k out refs + counts, then k VMEM scratch (pass-Y result).
@@ -474,7 +480,7 @@ def _make_kernel_v6(C: int, k: int, gw: int, gh: int, GWP: int, x_min: float,
         scr = refs[8 + 3 * (k - 2) + k + 1 :]
         assert len(scr) == k
 
-        rr = pl.program_id(0)
+        rr = pl.program_id(0) + off_ref[0]
         rv = jnp.zeros((GWP, 1), jnp.int32) + rr           # own global row
         colv = jax.lax.broadcasted_iota(jnp.int32, (GWP, 1), 0)  # own column
         laneC = jax.lax.broadcasted_iota(jnp.int32, (suba, C), 1)
@@ -669,8 +675,9 @@ def _rebin_v6(planes, spec: GridSpec, fills, interpret: bool):
         return pl.BlockSpec((1, GWP, C),
                             lambda r, dy=dy: (jnp.clip(r + dy, 0, gh - 1), 0, 0))
 
-    in_specs = [pl.BlockSpec((C, C), lambda r: (0, 0))]
-    operands = [ut]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, C), lambda r: (0, 0))]
+    operands = [jnp.zeros((1,), jnp.int32), ut]
     for ch in (0, 1):  # px, py: rows r-2..r+1 (r+2 provably never needed)
         for dy in (-2, -1, 0, 1):
             in_specs.append(view(dy))
@@ -701,6 +708,94 @@ def _rebin_v6(planes, spec: GridSpec, fills, interpret: bool):
     )(*operands)
     new_planes = [r[:, :gw, :] for r in res[:k]]
     counts = res[k][:, :gw, 0].reshape(gh * gw)
+    return new_planes, counts
+
+
+def _rebin_v6_band(planes, spec: GridSpec, fills, row0, lo2, lo1, hi1,
+                   interpret: bool):
+    """Band-sharded row-fused rebin: variant 6 on a ``[R, gw, C]`` slab.
+
+    ``row0``: traced int32 — the slab's first GLOBAL grid row.  Ghost rows (the
+    2-deep ppermute halo, parallel/plane_sharded.py):
+
+    * ``lo2``: (px, py) ``[gw, C]`` at global row ``row0 − 2`` — needed only to
+      re-derive row ``row0 − 1``'s adoption competition for the retention rule;
+    * ``lo1``: all k channels at row ``row0 − 1``;
+    * ``hi1``: all k channels at row ``row0 + R``.
+
+    Mesh-edge ghosts may be arbitrary (ppermute zeros): every kernel read of a
+    neighbor row is guarded by the global-row edge conditions (``rv >= 1``,
+    ``rv >= 2``, ``rv <= gh − 2``), so out-of-domain ghost contents never reach
+    an adoption or retention decision — no validity-mask exchange is needed.
+
+    Output is bit-identical to running :func:`_rebin_v6` on the full plane and
+    slicing this band's rows (each row program sees the same inputs and global
+    row index).  Replaces the v5 two-pass + acceptance-return + retention-merge
+    sharded schedule (the round-4 ~14 ms/chip overhead's main term).
+    """
+    R, gw, C = planes[0].shape
+    k = len(planes)
+    gh = spec.gh
+    GWP = _round_up(gw, 8)
+    suba = V6_SUBA
+    while GWP % suba != 0 or suba % 8 != 0:
+        suba -= 8 if suba > 8 else 1
+        if suba < 1:
+            suba = GWP
+            break
+
+    def padw(a, f):
+        # a: [rows, gw, C] -> [rows, GWP, C]
+        if GWP == gw:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full(a.shape[:1] + (GWP - gw, C), f, jnp.float32)], axis=1)
+
+    # Extended slabs: px/py rows [row0-2, row0+R], values [row0-1, row0+R].
+    ext = []
+    for c in range(k):
+        rows = [lo1[c][None], planes[c], hi1[c][None]]
+        if c < 2:
+            rows.insert(0, lo2[c][None])
+        ext.append(padw(jnp.concatenate(rows, axis=0), fills[c]))
+    ut = jnp.triu(jnp.ones((C, C), jnp.float32))
+
+    def view(off):
+        return pl.BlockSpec((1, GWP, C), lambda r, off=off: (r + off, 0, 0))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, C), lambda r: (0, 0))]
+    operands = [jnp.asarray(row0, jnp.int32).reshape(1), ut]
+    for ch in (0, 1):  # px, py: global rows r-2..r+1 -> ext rows r..r+3
+        for dy in (-2, -1, 0, 1):
+            in_specs.append(view(dy + 2))
+            operands.append(ext[ch])
+    for c in range(2, k):  # value channels: rows r-1..r+1 -> ext rows r..r+2
+        for dy in (-1, 0, 1):
+            in_specs.append(view(dy + 1))
+            operands.append(ext[c])
+
+    out_specs = [pl.BlockSpec((1, GWP, C), lambda r: (r, 0, 0))] * k + [
+        pl.BlockSpec((1, GWP, 1), lambda r: (r, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((R, GWP, C), jnp.float32)] * k + [
+        jax.ShapeDtypeStruct((R, GWP, 1), jnp.int32)]
+
+    res = pl.pallas_call(
+        _make_kernel_v6(C, k, gw, gh, GWP, float(spec.x_min), float(spec.y_min),
+                        float(spec.cell_width), float(spec.cell_size), fills,
+                        suba),
+        grid=(R,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((GWP, C), jnp.float32)] * k,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    new_planes = [r[:, :gw, :] for r in res[:k]]
+    counts = res[k][:, :gw, 0].reshape(R * gw)
     return new_planes, counts
 
 

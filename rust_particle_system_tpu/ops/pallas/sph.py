@@ -136,7 +136,7 @@ def _own_chunk(cp: int) -> int:
 
 def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                      n_out: int, tc: int, seg: int, finalize=None, n_dx: int = 3,
-                     finalize_on_empty: bool = False):
+                     finalize_on_empty: bool = False, sub_cap: int | None = None):
     """Build a kernel: one (grid row, column segment) per program.
 
     Inputs arrive as ``n_channels * 3`` halo slabs ``[1, 1, seg+2, CP]`` (each
@@ -181,18 +181,31 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
             ch_w = _own_chunk(cp_own)
             if CHUNK_SPLITS is not None and (n_dx == 2 or CHUNK_SPLITS_CLASSIC):
                 # Non-uniform chunks, replicated per sub-cell (see CHUNK_SPLITS).
+                # Sub-cell boundaries come from the TRUE capacity (``sub_cap``):
+                # the pack2 layout places cell B at lane C with pad lanes
+                # [2C, 128) when capacity < 64 (see unpack_pairs), so splitting
+                # at cp_own // 2 would misalign the tuned head/tail pattern
+                # with the real cell boundaries there.  Pad lanes gate as one
+                # always-dead tail chunk (zero cost).
                 nsubc = 2 if n_dx == 2 else 1
                 sub_w = cp_own // nsubc
+                if sub_cap is not None:
+                    sub_w = min(sub_cap, sub_w)
                 pts = sorted({min(sub_w, max(0, int(round(f * sub_w))))
                               for f in CHUNK_SPLITS} | {0, sub_w})
                 chunks = [slice(s * sub_w + a, s * sub_w + b)
                           for s in range(nsubc)
                           for a, b in zip(pts[:-1], pts[1:])]
+                n_real = len(chunks)
+                if nsubc * sub_w < cp_own:
+                    chunks.append(slice(nsubc * sub_w, cp_own))
             elif ch_w >= cp_own or cp_own % ch_w:
                 chunks = [slice(0, cp_own)]
+                n_real = 1
             else:
                 chunks = [slice(k * ch_w, (k + 1) * ch_w)
                           for k in range(cp_own // ch_w)]
+                n_real = len(chunks)
             # Own x-position channel (occupancy source): halo center slab channel 0
             # (classic) or own-only channel 0 (pair-packed) — both are own_full[0].
             # Occupancy gating (measured at 1M, protos/time_forces.py + bench):
@@ -234,10 +247,13 @@ def _make_seg_kernel(pair_update, n_channels: int, n_own: int, n_acc: int,
                     o[0, 0, pl.ds(c0, tc), sl] = r
 
             conds = [jnp.max(own_live[:, sl]) > 0.5 for sl in chunks]
-            if len(chunks) == 1:
+            # all_live ANDs only the REAL-cell chunks: a capacity<64 pack2
+            # layout carries an always-dead pad tail chunk that must not
+            # disable the all-live single-branch fast path.
+            if n_real == 1:
                 all_live = conds[0]
             else:
-                all_live = functools.reduce(jnp.logical_and, conds)
+                all_live = functools.reduce(jnp.logical_and, conds[:n_real])
 
             @pl.when(all_live)
             def _():
@@ -536,7 +552,8 @@ def unpack_pairs(x, gw, C):
 
 
 def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
-                interpret, finalize=None, n_dx=3, finalize_on_empty=False):
+                interpret, finalize=None, n_dx=3, finalize_on_empty=False,
+                sub_cap=None):
     """Shared pallas_call over width-segmented planes.
 
     Each padded halo plane [gh+2, wt+2, CP] is re-laid out as
@@ -549,7 +566,8 @@ def _plane_call(update, planes, own_planes, n_acc, n_out, gh, wt, cp, tc,
     nseg = wt // seg
     kernel = _make_seg_kernel(update, len(planes), len(own_planes), n_acc, n_out,
                               tc, seg, finalize, n_dx=n_dx,
-                              finalize_on_empty=finalize_on_empty)
+                              finalize_on_empty=finalize_on_empty,
+                              sub_cap=sub_cap)
 
     def segmented(p):
         return jnp.stack(
@@ -611,7 +629,8 @@ def plane_geometry(gw: int, capacity: int):
     return cp, tc, wt
 
 
-def density_planes(ppx, ppy, params, interpret: bool, own_planes=(), n_dx=3):
+def density_planes(ppx, ppy, params, interpret: bool, own_planes=(), n_dx=3,
+                   sub_cap=None):
     """Density pass over pre-padded position planes [rows+2, wt+2, CP].
 
     Classic layout (n_dx=3): own positions come from the halo planes' center slabs;
@@ -623,14 +642,15 @@ def density_planes(ppx, ppy, params, interpret: bool, own_planes=(), n_dx=3):
     wt, cp = ppx.shape[1] - 2, ppx.shape[2]
     tc = _tile_cells(cp)
     call, args = _plane_call(_density_update, [ppx, ppy], list(own_planes), 2, 2,
-                             rows, wt, cp, tc, interpret, n_dx=n_dx)
+                             rows, wt, cp, tc, interpret, n_dx=n_dx,
+                             sub_cap=sub_cap)
     args[0] = density_scalars(params)
     s2, s3 = call(*args)
     return params.density_kernel_norm * s2, params.near_density_kernel_norm * s3
 
 
 def force_planes(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
-                 interpret: bool, n_dx=3):
+                 interpret: bool, n_dx=3, sub_cap=None):
     """Fused pressure+viscosity pass over pre-padded planes.
 
     Halo planes [rows+2, wt+2, CP] carry the NEIGHBOR-side channels (positions, P1,
@@ -645,13 +665,14 @@ def force_planes(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
     tc = _tile_cells(cp)
     call, args = _plane_call(_force_update, [ppx, ppy, pP1, pNPn, pvx, pvy],
                              list(own_planes), 5, 4, rows, wt, cp, tc, interpret,
-                             finalize=_force_finalize, n_dx=n_dx)
+                             finalize=_force_finalize, n_dx=n_dx,
+                             sub_cap=sub_cap)
     args[0] = force_scalars(params)
     return call(*args)
 
 
 def force_planes_integrated(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
-                            interpret: bool, n_dx=3):
+                            interpret: bool, n_dx=3, sub_cap=None):
     """:func:`force_planes` with the frame tail fused into the epilogue.
 
     ``own_planes`` must END with ``(npx, npy)`` — the true predicted positions —
@@ -666,7 +687,7 @@ def force_planes_integrated(ppx, ppy, pP1, pNPn, pvx, pvy, own_planes, params,
     call, args = _plane_call(_force_update, [ppx, ppy, pP1, pNPn, pvx, pvy],
                              list(own_planes), 5, 4, rows, wt, cp, tc, interpret,
                              finalize=_force_finalize_integrated, n_dx=n_dx,
-                             finalize_on_empty=True)
+                             finalize_on_empty=True, sub_cap=sub_cap)
     args[0] = force_scalars_integrated(params)
     return call(*args)
 

@@ -53,6 +53,7 @@ from ..ops.grid import GridSpec
 from ..ops.pallas.rebin import (
     SENTINEL,
     _hole_fill_pass,
+    _rebin_v6_band,
     _retention_merge,
     _round_up,
 )
@@ -83,7 +84,7 @@ def shard_plane_state(ps: PlaneState, mesh, axis: str = "bands") -> PlaneState:
 
 def _local_plane_physics(px, py, vx, vy, idsf, params: SimParams, *,
                          spec: GridSpec, n_bands: int, axis: str,
-                         interpret: bool):
+                         interpret: bool, rebin_variant: int = 6):
     """One physics frame on this chip's [R, gw, C] plane slab."""
     R, gw, C = px.shape
     band = jax.lax.axis_index(axis)
@@ -104,72 +105,101 @@ def _local_plane_physics(px, py, vx, vy, idsf, params: SimParams, *,
     fills = (SENTINEL, SENTINEL, 0.0, 0.0, 0.0)
     chans = [predx, predy, vxp, vyp, idsf]
 
-    def flat(p, f):
-        x = p.reshape(nc_local, C)
-        if nc_pad > nc_local:
-            x = jnp.concatenate(
-                [x, jnp.full((nc_pad - nc_local, C), f, jnp.float32)])
-        return x
-
-    flats = [flat(p, f) for p, f in zip(chans, fills)]
-
-    # 2. rebin pass Y with cross-band ghosts.  Ghost rows: my row R-1 goes UP,
-    # my row 0 goes DOWN; I receive the band-below's row R-1 (ghost_lo) and the
-    # band-above's row 0 (ghost_hi).  Edge bands receive zeros -> re-park the
-    # position channels at the sentinel so nothing is adopted from the void.
-    ghosts = []
-    masks = None
-    for c, p in enumerate(chans):
-        top = p[R - 1]  # [gw, C]
-        bot = p[0]
-        lo, hi = exchange_halo(top, bot, axis, n_bands)
-        if c == 0:
-            # edge bands receive ppermute zeros, which read as "live at (0,0)" in
-            # position channels — exchange a validity mask and re-park the dead
-            vlo, vhi = exchange_halo(
-                jnp.where(live[R - 1], 1.0, 0.0),
-                jnp.where(live[0], 1.0, 0.0), axis, n_bands)
-            masks = (vlo > 0.5, vhi > 0.5)
-        if fills[c] == SENTINEL:
-            lo = jnp.where(masks[0], lo, SENTINEL)
-            hi = jnp.where(masks[1], hi, SENTINEL)
+    if rebin_variant == 6:
+        # 2.+3. the PRODUCTION row-fused rebin (variant 6) with a 2-deep
+        # ppermute halo: each band receives the neighbor-below's last two px/py
+        # rows (the second-deep row only feeds the retention re-derivation) and
+        # last value row, plus the neighbor-above's first row of every channel.
+        # Retention is re-derived IN-KERNEL from the ghosts, so v5's acceptance
+        # ppermute + two XLA retention merges + window concats all disappear —
+        # the round-4 ~14 ms/chip sharded overhead's main term.  Mesh-edge
+        # ghost zeros are harmless: every neighbor-row read is guarded by the
+        # kernel's global-row edge conditions (see _rebin_v6_band).
+        lo1, hi1 = [], []
+        for p in chans:
+            lo, hi = exchange_halo(p[R - 1], p[0], axis, n_bands)
+            lo1.append(lo)
+            hi1.append(hi)
+        if R >= 2:
+            lo2 = [exchange_halo(chans[c][R - 2], chans[c][R - 2],
+                                 axis, n_bands)[0] for c in (0, 1)]
         else:
-            lo = jnp.where(masks[0], lo, fills[c])
-            hi = jnp.where(masks[1], hi, fills[c])
-        ghosts.append((lo, hi))
+            # R == 1: global row row0-2 lives two bands up — second hop.
+            lo2 = [exchange_halo(lo1[c], lo1[c], axis, n_bands)[0]
+                   for c in (0, 1)]
+        out, _ = _rebin_v6_band(chans, spec, fills, row0, lo2, lo1, hi1,
+                                interpret)
+        npx, npy, nvx0, nvy0, nidsf = out
+    else:
+        def flat(p, f):
+            x = p.reshape(nc_local, C)
+            if nc_pad > nc_local:
+                x = jnp.concatenate(
+                    [x, jnp.full((nc_pad - nc_local, C), f, jnp.float32)])
+            return x
 
-    mid, _, acc = _hole_fill_pass(
-        flats, spec, fills, gw, True, interpret, lossless=True, ghosts=ghosts,
-        row_offset=row0, nc_valid=nc_local)
+        flats = [flat(p, f) for p, f in zip(chans, fills)]
 
-    # Acceptance return: my acc rows [0, gw) group 0 adopted the band-below's
-    # row R-1 slots -> send DOWN; my rows [(R-1)gw, Rgw) group 1 adopted the
-    # band-above's row 0 slots -> send UP.  (exchange_halo's top/up, bottom/down
-    # convention: "top" payload lands at the upper neighbor.)
-    adopt_of_below = acc[:gw, :C]  # [gw, C]
-    adopt_of_above = acc[(R - 1) * gw : R * gw, C:]
-    # exchange_halo(a, b) returns (from-below's a, from-above's b): the band
-    # below's "adopt_of_above" is its adoption of MY row 0; the band above's
-    # "adopt_of_below" is its adoption of MY row R-1.
-    remote_lo, remote_hi = exchange_halo(adopt_of_above, adopt_of_below,
-                                         axis, n_bands)
-    extra = jnp.zeros((nc_pad, C), jnp.float32)
-    extra = extra.at[:gw].set(remote_lo)
-    extra = extra.at[(R - 1) * gw : R * gw].add(remote_hi)
-    mid = _retention_merge(flats, mid, acc, spec, gw, True, row_offset=row0,
-                           extra_adopted=extra)
+        # 2. rebin pass Y with cross-band ghosts.  Ghost rows: my row R-1 goes
+        # UP, my row 0 goes DOWN; I receive the band-below's row R-1 (ghost_lo)
+        # and the band-above's row 0 (ghost_hi).  Edge bands receive zeros ->
+        # re-park the position channels at the sentinel so nothing is adopted
+        # from the void.
+        ghosts = []
+        masks = None
+        for c, p in enumerate(chans):
+            top = p[R - 1]  # [gw, C]
+            bot = p[0]
+            lo, hi = exchange_halo(top, bot, axis, n_bands)
+            if c == 0:
+                # edge bands receive ppermute zeros, which read as "live at
+                # (0,0)" in position channels — exchange a validity mask and
+                # re-park the dead
+                vlo, vhi = exchange_halo(
+                    jnp.where(live[R - 1], 1.0, 0.0),
+                    jnp.where(live[0], 1.0, 0.0), axis, n_bands)
+                masks = (vlo > 0.5, vhi > 0.5)
+            if fills[c] == SENTINEL:
+                lo = jnp.where(masks[0], lo, SENTINEL)
+                hi = jnp.where(masks[1], hi, SENTINEL)
+            else:
+                lo = jnp.where(masks[0], lo, fills[c])
+                hi = jnp.where(masks[1], hi, fills[c])
+            ghosts.append((lo, hi))
 
-    # 3. rebin pass X — band-local (cross-band lanes fail the row compare).
-    out, _, acc = _hole_fill_pass(mid, spec, fills, 1, False, interpret,
-                                  lossless=True, row_offset=row0,
-                                  nc_valid=nc_local)
-    out = _retention_merge(mid, out, acc, spec, 1, False, row_offset=row0)
+        mid, _, acc = _hole_fill_pass(
+            flats, spec, fills, gw, True, interpret, lossless=True,
+            ghosts=ghosts, row_offset=row0, nc_valid=nc_local)
 
-    npx = out[0][:nc_local].reshape(R, gw, C)
-    npy = out[1][:nc_local].reshape(R, gw, C)
-    nvx0 = out[2][:nc_local].reshape(R, gw, C)
-    nvy0 = out[3][:nc_local].reshape(R, gw, C)
-    nidsf = out[4][:nc_local].reshape(R, gw, C)
+        # Acceptance return: my acc rows [0, gw) group 0 adopted the
+        # band-below's row R-1 slots -> send DOWN; my rows [(R-1)gw, Rgw)
+        # group 1 adopted the band-above's row 0 slots -> send UP.
+        # (exchange_halo's top/up, bottom/down convention: "top" payload lands
+        # at the upper neighbor.)
+        adopt_of_below = acc[:gw, :C]  # [gw, C]
+        adopt_of_above = acc[(R - 1) * gw : R * gw, C:]
+        # exchange_halo(a, b) returns (from-below's a, from-above's b): the
+        # band below's "adopt_of_above" is its adoption of MY row 0; the band
+        # above's "adopt_of_below" is its adoption of MY row R-1.
+        remote_lo, remote_hi = exchange_halo(adopt_of_above, adopt_of_below,
+                                             axis, n_bands)
+        extra = jnp.zeros((nc_pad, C), jnp.float32)
+        extra = extra.at[:gw].set(remote_lo)
+        extra = extra.at[(R - 1) * gw : R * gw].add(remote_hi)
+        mid = _retention_merge(flats, mid, acc, spec, gw, True, row_offset=row0,
+                               extra_adopted=extra)
+
+        # 3. rebin pass X — band-local (cross-band lanes fail the row compare).
+        out, _, acc = _hole_fill_pass(mid, spec, fills, 1, False, interpret,
+                                      lossless=True, row_offset=row0,
+                                      nc_valid=nc_local)
+        out = _retention_merge(mid, out, acc, spec, 1, False, row_offset=row0)
+
+        npx = out[0][:nc_local].reshape(R, gw, C)
+        npy = out[1][:nc_local].reshape(R, gw, C)
+        nvx0 = out[2][:nc_local].reshape(R, gw, C)
+        nvy0 = out[3][:nc_local].reshape(R, gw, C)
+        nidsf = out[4][:nc_local].reshape(R, gw, C)
 
     # 4. defer: live slots whose destination differs from the resident cell
     # (capacity-retained or in transit, incl. cross-band transit) skip the force
@@ -242,10 +272,16 @@ def check_plane_diags(diags, expect_particles: int | None = None) -> dict:
 
 
 def make_plane_sharded_step(spec: GridSpec, mesh, axis: str = "bands",
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            rebin_variant: int = 6):
     """Build the jitted band-sharded plane step: (PlaneState, SimParams) ->
     (PlaneState, diags).  The PlaneState's planes must be sharded with
-    :func:`shard_plane_state` (rows over the ``axis`` mesh dimension)."""
+    :func:`shard_plane_state` (rows over the ``axis`` mesh dimension).
+
+    ``rebin_variant``: 6 (default) = the production row-fused rebin with the
+    2-deep ppermute halo (same Mosaic kernel as the single-chip step, bit-
+    identical output); 5 = the two-pass hole-fill with acceptance-return
+    ppermute (the round-3/4 schedule, kept as a cross-check)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     n_bands = mesh.shape[axis]
@@ -254,7 +290,8 @@ def make_plane_sharded_step(spec: GridSpec, mesh, axis: str = "bands",
         f"parallel.shard.make_shard_spec-padded bounds"
     )
     body = functools.partial(_local_plane_physics, spec=spec, n_bands=n_bands,
-                             axis=axis, interpret=interpret)
+                             axis=axis, interpret=interpret,
+                             rebin_variant=rebin_variant)
     smap = jax.shard_map(
         body,
         mesh=mesh,
@@ -285,7 +322,8 @@ def make_plane_sharded_step(spec: GridSpec, mesh, axis: str = "bands",
 
 def make_plane_sharded_frame(spec: GridSpec, mesh, render_spec, bounds_static,
                              axis: str = "bands",
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             rebin_variant: int = 6):
     """Fused sharded step + distributed render: each band rasterizes its rows
     with the MXU patch splat into full-image accumulators; one psum composites.
     Returns a jitted (PlaneState, SimParams) -> (PlaneState, image, diags)."""
@@ -294,7 +332,7 @@ def make_plane_sharded_frame(spec: GridSpec, mesh, render_spec, bounds_static,
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    step = make_plane_sharded_step(spec, mesh, axis, interpret)
+    step = make_plane_sharded_step(spec, mesh, axis, interpret, rebin_variant)
     n_bands = mesh.shape[axis]
     R = spec.gh // n_bands
 

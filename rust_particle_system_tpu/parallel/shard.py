@@ -86,6 +86,11 @@ def make_shard_spec(
     (the CFL-style guard); or set ``mig_rounds`` explicitly."""
     if capacity is None:
         capacity = suggest_capacity(n, bounds, cell_size, safety=capacity_safety)
+        if cell_aspect is not None and int(cell_aspect) > 1:
+            # from_bounds widens cells by cell_aspect in x, so each cell holds
+            # ~aspect x more particles — the suggested per-cell cap must scale
+            # with it or the default capacity drops overflow particles.
+            capacity *= int(cell_aspect)
     # Layout knobs pass straight through to the grid: the sharded force walks
     # run the SAME kernels as single-chip (plane_sharded.py), so the uniform-
     # fast pair-packed configuration (cell_aspect=1, pack2=True, capacity=64)

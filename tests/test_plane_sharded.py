@@ -49,10 +49,11 @@ def _setup(rng, n=320, n_bands=4, gh_rows=8, capacity=16, vmax=30.0):
 
 
 @pytest.mark.parametrize("n_bands", [2, 4])
-def test_plane_sharded_matches_single_chip(rng, n_bands):
+@pytest.mark.parametrize("rebin_variant", [5, 6])
+def test_plane_sharded_matches_single_chip(rng, n_bands, rebin_variant):
     params, spec, ps = _setup(rng, n_bands=n_bands)
     mesh = make_band_mesh(n_bands)
-    step = make_plane_sharded_step(spec, mesh)
+    step = make_plane_sharded_step(spec, mesh, rebin_variant=rebin_variant)
     sharded = shard_plane_state(ps, mesh)
 
     single = ps
@@ -118,6 +119,70 @@ def test_plane_sharded_band_crossing_changes_owner(rng):
     live = np.asarray(sharded.live)
     rows = np.argwhere(live)[:, 0]
     assert len(rows) == 1 and rows[0] >= 4, f"expected band-1 rows, got {rows}"
+
+
+@pytest.mark.parametrize("rebin_variant", [5, 6])
+def test_plane_sharded_crowded_boundary_defers_then_delivers(rebin_variant):
+    """Cross-band adoption into a FULL edge cell: the mover must be deferred
+    (retained across the ppermute boundary, zero losses) and delivered once the
+    destination cell frees up — SURVEY §7 hard part 4's crowding case.
+
+    Construction (pure advection: all force terms zeroed): cell (1, 5) — band
+    0's top row — is filled to capacity with occupants sliding right one cell
+    per frame; a mover in band 1's bottom row falls one cell-row per frame into
+    it.  Frame 1: occupants are pass-Y stayers, so the mover finds zero holes
+    and is retained in band 1 (deferred > 0).  Frame 2: the occupants' old
+    slots are dead, the mover crosses the band boundary into (1, 5).
+    """
+    n_bands = 2
+    capacity = 16
+    spec = GridSpec(x_min=-54.0, y_min=-36.0, cell_size=9.0,
+                    gw=13, gh=4, capacity=capacity)
+    params = make_params(bounds=(-54.0, 63.0, -36.0, 0.0), gravity=0.0,
+                        shader_delay=0, pressure_multiplier=0.0,
+                        viscosity_strength=0.0, near_density_multiplier=0.0)
+    shp = (spec.gh, spec.gw, capacity)
+    px = np.full(shp, SENTINEL, np.float32)
+    py = np.full(shp, SENTINEL, np.float32)
+    vx = np.zeros(shp, np.float32)
+    vy = np.zeros(shp, np.float32)
+    ids = np.zeros(shp, np.float32)
+    dt = float(params.dt)
+    # 16 occupants fill cell (1, 5) (x in [-9, 0), y in [-27, -18)), all moving
+    # one cell right per frame.
+    for s in range(capacity):
+        px[1, 5, s] = -9.0 + (s + 0.5) * (9.0 / capacity)
+        py[1, 5, s] = -22.5
+        vx[1, 5, s] = 9.0 / dt
+        ids[1, 5, s] = float(s)
+    # The mover: band 1's bottom row (row 2), falling one cell-row per frame.
+    px[2, 5, 0] = -5.0
+    py[2, 5, 0] = -14.0
+    vy[2, 5, 0] = -9.0 / dt
+    ids[2, 5, 0] = 99.0
+    from rust_particle_system_tpu.ops.pallas.resident import PlaneState
+
+    ps = PlaneState(px=jnp.asarray(px), py=jnp.asarray(py),
+                    vx=jnp.asarray(vx), vy=jnp.asarray(vy),
+                    idsf=jnp.asarray(ids), frame=jnp.asarray(10, jnp.int32),
+                    lost=jnp.asarray(0, jnp.int32), n=capacity + 1)
+    mesh = make_band_mesh(n_bands)
+    step = make_plane_sharded_step(spec, mesh, rebin_variant=rebin_variant)
+    sharded = shard_plane_state(ps, mesh)
+
+    deferred = []
+    for _ in range(2):
+        sharded, diags = step(sharded, params)
+        jax.block_until_ready(sharded.px)
+        vals = check_plane_diags(diags, expect_particles=capacity + 1)
+        deferred.append(vals["deferred"])
+    assert deferred[0] >= 1, f"mover was not deferred at the full cell: {deferred}"
+    # Delivered: the mover now resides in band 0 (row < 2).
+    live = np.asarray(sharded.live)
+    idsf = np.asarray(sharded.idsf)
+    rows = np.argwhere(live & (idsf == 99.0))
+    assert len(rows) == 1 and rows[0][0] < 2, (
+        f"mover not delivered into band 0: slots {rows}, deferred {deferred}")
 
 
 def test_plane_sharded_render_matches_single_chip(rng):

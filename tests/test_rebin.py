@@ -536,6 +536,44 @@ def test_rebin_v6_bit_identical_to_v5(rng, drift):
     np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
 
 
+@pytest.mark.parametrize("drift", [0.4, 0.9, 1.8])
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_rebin_v6_band_bit_identical_to_full(rng, drift, n_bands):
+    """The band-sharded v6 driver (_rebin_v6_band) fed the 2-deep ghost rows a
+    ppermute would deliver must reproduce the full-plane v6 rebin BIT-FOR-BIT
+    per band slab — including mesh-edge bands, whose ghost rows are ZEROS (the
+    ppermute edge value): every neighbor-row read must be guarded by the
+    kernel's global-row edge conditions."""
+    from rust_particle_system_tpu.ops.pallas.rebin import _rebin_v6_band
+
+    spec = GridSpec(x_min=-90.0, y_min=-45.0, cell_size=9.0, gw=11, gh=8,
+                    capacity=16)
+    planes = _demo_planes(rng, spec, 16, 0.7, drift)
+    planes = [jnp.asarray(p) for p in planes]
+    full, cfull = rebin_planes(planes, spec, variant=6)
+    R = spec.gh // n_bands
+    k = len(planes)
+    gw, C = spec.gw, spec.capacity
+    zeros = jnp.zeros((gw, C), jnp.float32)
+    for b in range(n_bands):
+        r0 = b * R
+        slab = [p[r0 : r0 + R] for p in planes]
+        # ghosts exactly as the mesh would deliver them (zeros past the edge)
+        lo1 = [p[r0 - 1] if r0 >= 1 else zeros for p in planes]
+        hi1 = [p[r0 + R] if r0 + R < spec.gh else zeros for p in planes]
+        lo2 = [planes[c][r0 - 2] if r0 >= 2 else zeros for c in (0, 1)]
+        out, cnts = _rebin_v6_band(slab, spec, (SENTINEL, SENTINEL, 0.0, 0.0),
+                                   jnp.asarray(r0, jnp.int32), lo2, lo1, hi1,
+                                   interpret=True)
+        for c in range(k):
+            np.testing.assert_array_equal(
+                np.asarray(out[c]), np.asarray(full[c][r0 : r0 + R]),
+                err_msg=f"band {b} channel {c}")
+        np.testing.assert_array_equal(
+            np.asarray(cnts),
+            np.asarray(cfull[r0 * gw : (r0 + R) * gw]))
+
+
 @pytest.mark.parametrize("variant", [5, 6])
 def test_plane_step_fused_tail_matches_xla_tail(variant):
     """fuse_tail=True (integrate/bounce/defer-restore in the walk epilogue) must
