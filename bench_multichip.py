@@ -114,6 +114,12 @@ def main() -> None:
         for _ in range(2):
             sstate, diags = step(sstate, params)
             jax.block_until_ready(sstate.px)
+        # TRUE barrier before the clock: on this runtime block_until_ready can
+        # return before completion (runtime/timing.py) — only a device->host
+        # pull drains the queue.  Without this the timed window inherits the
+        # warm frames + executable load (measured +14 ms/frame at 1M, the
+        # round-4 "sharded overhead" artifact).
+        float(np.asarray(sstate.px[0, 0, 0]))
 
         t0 = time.perf_counter()
         all_diags = []
@@ -173,6 +179,7 @@ def main() -> None:
     for _ in range(2):
         sstate, diags = step(sstate, params)
         jax.block_until_ready(sstate.pos)
+    float(np.asarray(sstate.pos[0, 0]))  # true barrier (see plane branch)
 
     t0 = time.perf_counter()
     for _ in range(args.frames):
