@@ -48,12 +48,23 @@ from rust_particle_system_tpu.runtime.timing import hsync
 
 ABL = sys.argv[1] if len(sys.argv) > 1 else "full"
 R = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+SUBA_OVERRIDE = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
 NO_ONEHOT = ABL == "no_onehot"
 NO_DOT = ABL in ("no_onehot", "no_dot")
 NO_RETENT = ABL == "no_retent"
 NO_PASSX = ABL == "no_passx"
 BPREF = ABL == "bpref"
+# pfac: factor the one-hot through rank space — OH[w,s] = keep[w]·hole[s]·
+# (arank[w]==hr[s]) = Σ_j P_a[j,w]·P_h[j,s] with P_a[j,w] = keep[w]&(arank[w]==j)
+# and P_h[j,s] = filled-hole[s]&(hr[s]==j).  BOTH factors build in NATIVE
+# layout (rank values stay on lanes; the j axis broadcasts on sublanes), so the
+# [suba, W2, C] eq-compare's lane->sublane relayout of arank — measured ~5.4 of
+# the 7 ms (no_dot vs no_onehot) — disappears.  The apply becomes two exact
+# matmuls: M1 = vals·P_aᵀ ([k,W2]x[W2,C]), out = M1·P_h ([k,C]x[C,C]); every
+# filled slot receives exactly one nonzero term, so pass-through stays
+# bit-exact at HIGHEST precision.
+PFAC = ABL == "pfac"
 
 
 def _make_kernel_v6_abl(C, k, gw, gh, GWP, x_min, y_min, cell_w, cell_h,
@@ -137,6 +148,34 @@ def _make_kernel_v6_abl(C, k, gw, gh, GWP, x_min, y_min, cell_w, cell_h,
                        own_vals, out_write):
             for i in range(GWP // suba):
                 sl = slice(i * suba, (i + 1) * suba)
+                if PFAC:
+                    jio = jax.lax.broadcasted_iota(
+                        jnp.int32, (suba, C, W2), 1)  # j on sublanes
+                    pa = jnp.where(
+                        (jio == arankWi[sl][:, None, :])
+                        & (keepWf[sl][:, None, :] > 0.5), 1.0, 0.0)
+                    jioC = jio[:, :, :C]
+                    ph = jnp.where(
+                        (jioC == hrk[sl][:, None, :])
+                        & (deadf[sl][:, None, :] > 0.5)
+                        & (hrk[sl][:, None, :] < nar[sl][:, :, None]),
+                        1.0, 0.0)  # [suba, C(j), C(s)]
+                    vals = jnp.stack([w[sl] for w in win_ch], axis=1)
+                    m1 = jax.lax.dot_general(
+                        vals, pa, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32, precision=HI)
+                    app = jax.lax.dot_general(
+                        m1, ph, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32, precision=HI)
+                    filled = (deadf[sl] > 0.5) & (hrk[sl] < nar[sl])
+                    stays = stay_mask[sl]
+                    out_write(sl, [
+                        jnp.where(stays, own_vals[c][sl],
+                                  jnp.where(filled, app[:, c, :],
+                                            jnp.float32(fills[c])))
+                        for c in range(k)
+                    ])
+                    continue
                 if NO_ONEHOT:
                     out_write(sl, [
                         jnp.where(stay_mask[sl], own_vals[c][sl],
@@ -268,7 +307,7 @@ def rebin_v6_abl(planes, spec, fills):
     gh, gw, C = planes[0].shape
     k = len(planes)
     GWP = _round_up(gw, 8)
-    suba = V6_SUBA
+    suba = SUBA_OVERRIDE or V6_SUBA
     while GWP % suba != 0 or suba % 8 != 0:
         suba -= 8 if suba > 8 else 1
         if suba < 1:
@@ -318,7 +357,7 @@ def rebin_v6_abl(planes, spec, fills):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*operands)
-    return [r[:, :gw, :] for r in res[:k]], res[k][:, :gw, 0]
+    return [r[:, :gw, :] for r in res[:k]], res[k][:, :gw, 0].reshape(gh * gw)
 
 
 def main():
@@ -346,7 +385,7 @@ def main():
     print(f"grid {gh}x{gw} C={C} live={int(live.sum())} abl={ABL}", flush=True)
 
     # correctness guard vs production v6 for non-lossy ablations
-    if ABL in ("full", "bpref"):
+    if ABL in ("full", "bpref", "pfac"):
         from rust_particle_system_tpu.ops.pallas.rebin import rebin_planes
         import numpy as np
         want, wcnt = rebin_planes(planes, spec, variant=6)

@@ -538,18 +538,42 @@ def _make_kernel_v6(C: int, k: int, gw: int, gh: int, GWP: int, x_min: float,
 
         def apply_pass(keepWf, arankWi, hrk, deadf, nar, win_ch, stay_mask,
                        own_vals, out_write):
-            """One-hot hole-fill apply, suba cells per batch.  out_write(sl,
-            per-channel [suba, C] values) commits each batch."""
+            """Rank-factorized hole-fill apply, suba cells per batch.
+
+            The direct one-hot ``OH[w, s] = keep[w]·hole[s]·(arank[w]==hr[s])``
+            needs arank (a LANE-indexed value) broadcast along a new minor s
+            axis — a lane->sublane relayout that measured ~5.4 of the kernel's
+            7.1 ms at 1M (protos/time_rebin_v6split.py: no_dot 6.75 vs
+            no_onehot 1.35; the dot itself was ~0.4).  Factor it through rank
+            space instead: ``OH = P_aᵀ·P_h`` with ``P_a[j, w] = keep[w] &
+            (arank[w]==j)`` and ``P_h[j, s] = hole[s] & (hr[s]==j) & (j <
+            narr)`` — both build in NATIVE layout (rank values stay on lanes,
+            the j axis is a sublane iota), and the apply becomes two exact 0/1
+            matmuls: ``M1 = vals·P_aᵀ`` then ``out = M1·P_h``.  A filled slot
+            receives exactly one nonzero term through its unique rank j, so
+            value pass-through stays BIT-exact (HIGHEST precision, f32
+            accumulate).  Measured 7.12 -> 4.07 ms; bit-identity vs the eq
+            form pinned by the proto's guard and the v5≡v6 test surface.
+            out_write(sl, per-channel [suba, C] values) commits each batch."""
             for i in range(GWP // suba):
                 sl = slice(i * suba, (i + 1) * suba)
-                rk = arankWi[sl]
+                jio = jax.lax.broadcasted_iota(
+                    jnp.int32, (suba, C, W2), 1)  # j on sublanes
+                pa = jnp.where(
+                    (jio == arankWi[sl][:, None, :])
+                    & (keepWf[sl][:, None, :] > 0.5), 1.0, 0.0)
                 hr = hrk[sl]
-                eq = rk[:, :, None] == hr[:, None, :]
-                onehot = jnp.where(
-                    eq, keepWf[sl][:, :, None] * deadf[sl][:, None, :], 0.0)
+                ph = jnp.where(
+                    (jio[:, :, :C] == hr[:, None, :])
+                    & (deadf[sl][:, None, :] > 0.5)
+                    & (hr[:, None, :] < nar[sl][:, :, None]),
+                    1.0, 0.0)  # [suba, C(j), C(s)]
                 vals = jnp.stack([w[sl] for w in win_ch], axis=1)  # [suba,k,2C]
+                m1 = jax.lax.dot_general(
+                    vals, pa, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=HI)
                 app = jax.lax.dot_general(
-                    vals, onehot, (((2,), (1,)), ((0,), (0,))),
+                    m1, ph, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32, precision=HI)
                 filled = (deadf[sl] > 0.5) & (hr < nar[sl])
                 stays = stay_mask[sl]

@@ -78,9 +78,76 @@ class PlaneState:
         return s.pos
 
 
+def _spill_init_overflow(ch, packed, keys, slot, spec: GridSpec,
+                         max_spill: int = 4096):
+    """Zero-loss initial binning: place capacity-overflow particles into the
+    nearest neighbor cell with a free slot instead of dropping them.
+
+    The reference never drops a particle (its sorted runs have no capacity,
+    `compute_shader.wgsl:455-525`); the plane layout's static per-cell cap can
+    overflow on clustered inits.  Overflow rows (``slot >= C`` in the sorted
+    stream) are re-homed to the closest free cell in their 5x5 neighborhood
+    (distance order, row-major tiebreak).  A spilled particle's resident cell
+    differs from its position's cell, so the first frames treat it exactly
+    like a retained mover: deferred from the force walk until the lossless
+    rebin hops it home as space frees up — no special-casing anywhere
+    downstream.  Runs once at init (a dynamic-trip scatter loop, not a frame
+    kernel).  Returns (planes, spilled_count); overflow beyond ``max_spill``
+    or with a fully-packed 5x5 neighborhood stays dropped and reported.
+    """
+    gh, gw, C = spec.gh, spec.gw, spec.capacity
+    n = packed.shape[0]
+    over = slot >= C
+    n_over = jnp.sum(over, dtype=jnp.int32)
+    idx = jnp.nonzero(over, size=max_spill, fill_value=n)[0]
+    counts = jnp.sum(ch[0] < 0.5 * SENTINEL, axis=-1).astype(jnp.int32)
+    offs = sorted(
+        [(dy, dx) for dy in range(-2, 3) for dx in range(-2, 3)
+         if (dy, dx) != (0, 0)],
+        key=lambda o: (o[0] * o[0] + o[1] * o[1], o[0], o[1]))
+    offs = jnp.asarray(offs, jnp.int32)  # [24, 2] by distance
+    packed_pad = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
+    keys_pad = jnp.concatenate([keys, jnp.zeros((1,), keys.dtype)])
+
+    def body(i, carry):
+        planes, counts, spilled = carry
+        pi = idx[i]
+        valid = pi < n
+        key = keys_pad[pi]
+        cy = key // gw
+        cx = key - cy * gw
+        nys = jnp.clip(cy + offs[:, 0], 0, gh - 1)
+        nxs = jnp.clip(cx + offs[:, 1], 0, gw - 1)
+        ncnt = counts[nys, nxs]
+        # clipped offsets can alias the (full) home cell; exclude it
+        free = (ncnt < C) & ((nys != cy) | (nxs != cx))
+        j = jnp.argmax(free)
+        do = valid & free[j]
+        ty, tx, s = nys[j], nxs[j], ncnt[j]
+        vals = packed_pad[pi]
+        planes = [
+            p.at[ty, tx, s].set(jnp.where(do, vals[c], p[ty, tx, s]))
+            for c, p in enumerate(planes)
+        ]
+        counts = counts.at[ty, tx].add(jnp.where(do, 1, 0))
+        return planes, counts, spilled + jnp.where(do, 1, 0)
+
+    planes, _, spilled = jax.lax.fori_loop(
+        0, jnp.minimum(n_over, max_spill), body,
+        (list(ch), counts, jnp.asarray(0, jnp.int32)))
+    return planes, spilled
+
+
 def plane_state_from_particles(state: ParticleState, spec: GridSpec,
-                               interpret: bool | None = None) -> "PlaneState":
-    """Initial binning: one sort + gather + plane build (the only one ever run)."""
+                               interpret: bool | None = None,
+                               spill_overflow: bool = True) -> "PlaneState":
+    """Initial binning: one sort + gather + plane build (the only one ever run).
+
+    ``spill_overflow`` (default on) re-homes per-cell capacity overflow to the
+    nearest free neighbor cell instead of dropping it (see
+    :func:`_spill_init_overflow`) — ``lost`` is then 0 unless a whole 5x5
+    neighborhood is packed solid."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     state = state.with_ids()
@@ -97,9 +164,14 @@ def plane_state_from_particles(state: ParticleState, spec: GridSpec,
     fills = (SENTINEL, SENTINEL, 0.0, 0.0, 0.0)
     cells = cell_planes_aos(packed, grid.starts, nc, C, fills, interpret)
     ch = [cells[..., i].reshape(gh, gw, C) for i in range(5)]
+    lost = grid.overflow
+    if spill_overflow:
+        ch, spilled = _spill_init_overflow(ch, packed, grid.sorted_keys,
+                                           grid.slot, spec)
+        lost = lost - spilled
     return PlaneState(
         px=ch[0], py=ch[1], vx=ch[2], vy=ch[3], idsf=ch[4],
-        frame=state.frame, lost=grid.overflow, n=n,
+        frame=state.frame, lost=lost, n=n,
     )
 
 

@@ -536,6 +536,44 @@ def test_rebin_v6_bit_identical_to_v5(rng, drift):
     np.testing.assert_array_equal(np.asarray(c6), np.asarray(c5))
 
 
+def test_init_overflow_spills_to_neighbor_losslessly(rng):
+    """Initial binning must not drop capacity overflow: extra particles spill
+    to the nearest free neighbor cell (the reference never drops a particle —
+    its sorted runs are unbounded, compute_shader.wgsl:455-525), arrive as
+    deferred movers, and stepping conserves them."""
+    from rust_particle_system_tpu.core.state import make_state
+
+    spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=9.0, gw=9, gh=9,
+                    capacity=16)
+    n = 20  # 4 over the center cell's capacity
+    pos = np.stack(
+        [36.0 + 4.5 + rng.uniform(-2, 2, n),
+         36.0 + 4.5 + rng.uniform(-2, 2, n)], axis=-1).astype(np.float32)
+    state = make_state(jnp.asarray(pos)).with_ids()
+
+    ps_drop = plane_state_from_particles(state, spec, spill_overflow=False)
+    assert int(ps_drop.lost) == 4  # the legacy drop contract
+
+    ps = plane_state_from_particles(state, spec)
+    assert int(ps.lost) == 0
+    live = np.asarray(ps.live)
+    assert int(live.sum()) == n
+    # every id present exactly once
+    ids = np.sort(np.asarray(ps.idsf)[live].astype(int))
+    np.testing.assert_array_equal(ids, np.arange(n))
+    # home cell full; the 4 spills sit in its 3x3 ring (all adjacent free)
+    cnt = live.sum(axis=-1)
+    assert cnt[4, 4] == 16
+    ring = cnt[3:6, 3:6].sum() - cnt[4, 4]
+    assert ring == 4
+    # stepping keeps the spills (deferred movers, lossless rebin)
+    params = make_params(bounds=(0.0, 81.0, 0.0, 81.0), gravity=0.0,
+                         shader_delay=0)
+    out = plane_step(ps, params, spec)
+    assert int(out.lost) == 0
+    assert int(np.asarray(out.live).sum()) == n
+
+
 @pytest.mark.parametrize("drift", [0.4, 0.9, 1.8])
 @pytest.mark.parametrize("n_bands", [2, 4])
 def test_rebin_v6_band_bit_identical_to_full(rng, drift, n_bands):
