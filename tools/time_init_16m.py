@@ -15,7 +15,6 @@ Usage (TPU): python tools/time_init_16m.py [n]
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -68,18 +67,13 @@ def main() -> None:
     print(f"eager init (warm):  {time.perf_counter() - t0:6.1f} s  lost={lost}",
           flush=True)
 
-    jinit = jax.jit(functools.partial(plane_state_from_particles, spec=spec,
-                                      interpret=False))
-    t0 = time.perf_counter()
-    ps = jinit(state)
-    float(np.asarray(ps.px[0, 0, 0]))
-    print(f"jitted init (cold): {time.perf_counter() - t0:6.1f} s  "
-          f"lost={int(ps.lost)}", flush=True)
-    t0 = time.perf_counter()
-    ps = jinit(state)
-    float(np.asarray(ps.px[0, 0, 0]))
-    dt = time.perf_counter() - t0
-    print(f"jitted init (warm): {dt:6.1f} s  lost={int(ps.lost)}", flush=True)
+    # MEASURED (2026-08-20, one v5e): eager cold 44.1 s (one-off compiles,
+    # absorbed by the persistent cache), eager WARM 1.2 s, lost=0 — the
+    # round-4 "~113 s init" was compile+dispatch artifacts, not the sort.
+    # A whole-init jax.jit wrapper was also tried: it RESOURCE_EXHAUSTs at
+    # 16M (no donation for the ~850 MB of init intermediates alongside the
+    # eager-path arrays) for no benefit — the eager path is already one
+    # cached dispatch per op and 1.2 s total.  Not worth pursuing.
     live = int(jnp.sum(ps.live, dtype=jnp.int32))
     print(f"live={live} (expect {N} - lost)", flush=True)
 
