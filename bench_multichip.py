@@ -39,6 +39,11 @@ def main() -> None:
                          "64 with --pack2 = the uniform-fast configuration)")
     ap.add_argument("--pack2", action="store_true",
                     help="pair-packed force-walk layout (cell_aspect 1)")
+    ap.add_argument("--domain-scale", type=float, default=1.0,
+                    help="shrink the constant-density domain (<1 raises "
+                         "occupancy toward capacity — the crowded-deferral "
+                         "regime for exercising lossless retention across "
+                         "band boundaries)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -71,7 +76,7 @@ def main() -> None:
     # constant-density domain scaling around the 1M design point, snapped to
     # whole 9-unit cells so the distributed fused render's 1-unit-per-pixel
     # mapping keeps integral pixel strides (render/splat_planes.py precondition)
-    scale = math.sqrt(args.n / 1_000_000)
+    scale = math.sqrt(args.n / 1_000_000) * args.domain_scale
     xh = max(27.0, round(960.0 * scale / 9.0) * 9.0)
     yh = max(27.0, round(540.0 * scale / 9.0) * 9.0)
     bounds = (-xh, xh, -yh, yh)
