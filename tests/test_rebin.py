@@ -574,6 +574,27 @@ def test_init_overflow_spills_to_neighbor_losslessly(rng):
     assert int(np.asarray(out.live).sum()) == n
 
 
+def test_init_overflow_with_packed_neighborhood_reports_lost(rng):
+    """When a cell's whole 5x5 neighborhood is packed solid, overflow cannot
+    spill — it must be counted in ``lost`` honestly (not silently vanish, not
+    crash the spill loop)."""
+    from rust_particle_system_tpu.core.state import make_state
+
+    spec = GridSpec(x_min=0.0, y_min=0.0, cell_size=9.0, gw=9, gh=9,
+                    capacity=8)
+    pts = []
+    for cy in range(2, 7):
+        for cx in range(2, 7):
+            extra = 3 if (cy, cx) == (4, 4) else 0
+            for s in range(8 + extra):
+                pts.append([cx * 9.0 + 1.0 + 0.5 * s, cy * 9.0 + 4.5])
+    pos = np.asarray(pts, np.float32)
+    state = make_state(jnp.asarray(pos)).with_ids()
+    ps = plane_state_from_particles(state, spec)
+    assert int(ps.lost) == 3  # 5x5 solid: nothing can spill
+    assert int(np.asarray(ps.live).sum()) == len(pts) - 3
+
+
 @pytest.mark.parametrize("drift", [0.4, 0.9, 1.8])
 @pytest.mark.parametrize("n_bands", [2, 4])
 def test_rebin_v6_band_bit_identical_to_full(rng, drift, n_bands):
