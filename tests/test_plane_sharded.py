@@ -48,8 +48,13 @@ def _setup(rng, n=320, n_bands=4, gh_rows=8, capacity=16, vmax=30.0):
     return params, spec, ps
 
 
-@pytest.mark.parametrize("n_bands", [2, 4])
-@pytest.mark.parametrize("rebin_variant", [5, 6])
+@pytest.mark.parametrize("n_bands,rebin_variant", [
+    (2, 5), (2, 6), (4, 5), (4, 6),
+    # 8 bands over gh=8 rows -> R=1: the v6 slab's row0-2 ghost lives TWO
+    # bands up and must arrive via the second ppermute hop (plane_sharded's
+    # R==1 branch) — otherwise untested.
+    (8, 6),
+])
 def test_plane_sharded_matches_single_chip(rng, n_bands, rebin_variant):
     params, spec, ps = _setup(rng, n_bands=n_bands)
     mesh = make_band_mesh(n_bands)
