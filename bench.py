@@ -13,7 +13,7 @@ per frame, no sort after the initial binning.
 STALL-PROOF PROTOCOL (round 4, after BENCH_r03 timed out with zero output):
 the result dict is built INCREMENTALLY, every section runs under a wall-clock
 budget enforced by SIGALRM, a global deadline (RPS_BENCH_DEADLINE_S, default
-480 s) skips whatever remains, and the ONE JSON line is printed from a
+1000 s) skips whatever remains, and the ONE JSON line is printed from a
 ``finally`` block — so a stall or crash in any late section still emits every
 number already measured.  SIGTERM (what ``timeout`` sends) also triggers the
 emit, so even a driver-side timeout leaves the JSON in the output tail.
@@ -136,7 +136,7 @@ class SectionTimeout(Exception):
     pass
 
 
-_DEADLINE = time.monotonic() + float(os.environ.get("RPS_BENCH_DEADLINE_S", "900"))
+_DEADLINE = time.monotonic() + float(os.environ.get("RPS_BENCH_DEADLINE_S", "1000"))
 
 
 def run_section(name: str, budget_s: float, fn, _retry: bool = True) -> bool:
@@ -531,6 +531,7 @@ def main() -> None:
 
     run_section("flow", 90, sec_flow)
 
+
     # 16M particles on the PRODUCTION plane-resident pipeline (BASELINE.json
     # config 5's single-chip leg; VERDICT r3 #4).  Domain scales 4x per axis so
     # density (and per-cell occupancy) stays at the 1M design point.  Runs only
@@ -574,6 +575,48 @@ def main() -> None:
         run_section("sixteen_m", 420, sec_16m)
     else:
         RESULTS["sections"]["sixteen_m"] = "skipped_deadline"
+
+    # Reference-workload row: the reference's DEFAULT scene — 50,000 particles
+    # (`/root/reference/src/main.rs:25`), scatter init (uniform x, Normal y —
+    # `main.rs:182-216`), full fused step + 1080p render per frame.  The
+    # reference redraws its window at display rate (vsync-capped ~60 fps on its
+    # one GPU); this row is the end-to-end frames/sec of the same scene here.
+    def sec_reference_workload():
+        n_ref = 50_000 if not SMOKE else 2048
+        rps_state = rps.scatter_init(jax.random.key(8), n_ref, BOUNDS)
+        psr = plane_state_from_particles(rps_state.with_ids(), spec)
+        RESULTS["ref50k_lost_at_init"] = int(psr.lost)
+        fusedr = jax.jit(
+            lambda s: plane_frame(s, rparams, spec, rspec, bounds_static=BOUNDS),
+            donate_argnums=0,
+        )
+        psr, img = fusedr(psr)
+        psr, img = fusedr(psr)
+        hsync(img)
+        t0 = time.perf_counter()
+        for _ in range(FUSED_REPS):
+            psr, img = fusedr(psr)
+        hsync((psr.px, img))
+        ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
+        RESULTS["ref50k_frame_ms"] = round(ms, 2)
+        RESULTS["ref50k_fps"] = round(1e3 / ms, 1)
+        # Steady state: the same scene once the fluid has pooled (a settled
+        # 50k pool occupies ~7 of 121 cell rows — protos/occupancy_settled.py).
+        # The rebin's air-window row skip and the force/splat occupancy gating
+        # all engage here; this is the frame rate a long-running user sees.
+        settle = 900 if not SMOKE else 5
+        for _ in range(settle):
+            psr, img = fusedr(psr)
+        hsync((psr.px, img))
+        t0 = time.perf_counter()
+        for _ in range(FUSED_REPS):
+            psr, img = fusedr(psr)
+        hsync((psr.px, img))
+        ms = (time.perf_counter() - t0) / FUSED_REPS * 1e3
+        RESULTS["ref50k_settled_frame_ms"] = round(ms, 2)
+        RESULTS["ref50k_settled_fps"] = round(1e3 / ms, 1)
+
+    run_section("reference_workload", 240, sec_reference_workload)
 
     if not FULL:
         return

@@ -509,168 +509,195 @@ def _make_kernel_v6(C: int, k: int, gw: int, gh: int, GWP: int, x_min: float,
         up_ch = [pxm1, pym1] + valm1
         dn_ch = [pxp1, pyp1] + valp1
 
-        # ---------------- pass Y: adoption into row r ----------------
-        kx0, ky0 = destxy(px0, py0)
-        live0 = live(px0)
-        _, kym1 = destxy(pxm1, pym1)
-        _, kyp1 = destxy(pxp1, pyp1)
-        livem1 = live(pxm1) & (rv >= 1)
-        livep1 = live(pxp1) & (rv <= gh - 2)
-        keep_m1 = livem1 & (kym1 >= rv)     # clamped hop toward dest
-        keep_p1 = livep1 & (kyp1 <= rv)
-        deadY = jnp.logical_not(live0)
-        stayY = live0 & (ky0 == rv)
+        # ---------------- air-window skip ----------------
+        # A row whose full input window (the IN-DOMAIN rows among r-1, r, r+1)
+        # holds no live particle produces all-fill outputs and zero counts:
+        # pass Y has no keeps/stays/movers (rows r+-2 only matter as adoption
+        # competition INTO r+-1 for row-r movers, of which there are none),
+        # and pass X compacts an all-dead mid.  Settled fluids are mostly air
+        # rows (a settled 50k pool: 7 live rows of 121 -- protos/
+        # occupancy_settled.py; the rebin measured grid-bound at 4.04 ms
+        # regardless of occupancy -- protos/time_ref50k.py), so skipping them
+        # takes the rebin off the settled/small-scene frame floor.  Pure skip:
+        # outputs are bit-equal (pinned by the v5==v6 and band-slab bitwise
+        # tests).  Mesh-edge ghost rows on the sharded path can only look
+        # LIVE (ppermute zeros pass the sentinel test), which merely disables
+        # the skip on edge rows -- never a false skip.
+        anyv = jnp.max(f32(live(px0)))
+        anyv = anyv + jnp.max(f32(live(pxm1)) * f32(rv >= 1))
+        anyv = anyv + jnp.max(f32(live(pxp1)) * f32(rv <= gh - 2))
+        win_live = anyv > 0.5
 
-        kpf_m1, kpf_p1 = f32(keep_m1), f32(keep_p1)
-        pr_m1 = prefix(kpf_m1)
-        pr_p1 = prefix(kpf_p1)
-        n_m1 = pr_m1[:, C - 1 : C]
-        arank_m1 = pr_m1.astype(jnp.int32) - 1
-        arank_p1 = (n_m1 + pr_p1).astype(jnp.int32) - 1
-        hdf = f32(deadY)
-        hps = prefix(hdf)
-        hrank = hps.astype(jnp.int32) - 1
-        narr = (n_m1 + pr_p1[:, C - 1 : C]).astype(jnp.int32)
-
-        keepW = jnp.concatenate([kpf_m1, kpf_p1], axis=1)        # [GWP, 2C] f32
-        arankW = jnp.concatenate([arank_m1, arank_p1], axis=1)
-        winY = [jnp.concatenate([u, d], axis=1) for u, d in zip(up_ch, dn_ch)]
-
-        def apply_pass(keepWf, arankWi, hrk, deadf, nar, win_ch, stay_mask,
-                       own_vals, out_write):
-            """Rank-factorized hole-fill apply, suba cells per batch.
-
-            The direct one-hot ``OH[w, s] = keep[w]·hole[s]·(arank[w]==hr[s])``
-            needs arank (a LANE-indexed value) broadcast along a new minor s
-            axis — a lane->sublane relayout that measured ~5.4 of the kernel's
-            7.1 ms at 1M (protos/time_rebin_v6split.py: no_dot 6.75 vs
-            no_onehot 1.35; the dot itself was ~0.4).  Factor it through rank
-            space instead: ``OH = P_aᵀ·P_h`` with ``P_a[j, w] = keep[w] &
-            (arank[w]==j)`` and ``P_h[j, s] = hole[s] & (hr[s]==j) & (j <
-            narr)`` — both build in NATIVE layout (rank values stay on lanes,
-            the j axis is a sublane iota), and the apply becomes two exact 0/1
-            matmuls: ``M1 = vals·P_aᵀ`` then ``out = M1·P_h``.  A filled slot
-            receives exactly one nonzero term through its unique rank j, so
-            value pass-through stays BIT-exact (HIGHEST precision, f32
-            accumulate).  Measured 7.12 -> 4.07 ms; bit-identity vs the eq
-            form pinned by the proto's guard and the v5≡v6 test surface.
-            out_write(sl, per-channel [suba, C] values) commits each batch."""
-            for i in range(GWP // suba):
-                sl = slice(i * suba, (i + 1) * suba)
-                jio = jax.lax.broadcasted_iota(
-                    jnp.int32, (suba, C, W2), 1)  # j on sublanes
-                pa = jnp.where(
-                    (jio == arankWi[sl][:, None, :])
-                    & (keepWf[sl][:, None, :] > 0.5), 1.0, 0.0)
-                hr = hrk[sl]
-                ph = jnp.where(
-                    (jio[:, :, :C] == hr[:, None, :])
-                    & (deadf[sl][:, None, :] > 0.5)
-                    & (hr[:, None, :] < nar[sl][:, :, None]),
-                    1.0, 0.0)  # [suba, C(j), C(s)]
-                vals = jnp.stack([w[sl] for w in win_ch], axis=1)  # [suba,k,2C]
-                m1 = jax.lax.dot_general(
-                    vals, pa, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32, precision=HI)
-                app = jax.lax.dot_general(
-                    m1, ph, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32, precision=HI)
-                filled = (deadf[sl] > 0.5) & (hr < nar[sl])
-                stays = stay_mask[sl]
-                out_write(sl, [
-                    jnp.where(stays, own_vals[c][sl],
-                              jnp.where(filled, app[:, c, :],
-                                        jnp.float32(fills[c])))
-                    for c in range(k)
-                ])
-
-        def write_scr(sl, vals):
+        @pl.when(jnp.logical_not(win_live))
+        def _():
             for c in range(k):
-                scr[c][sl, :] = vals[c]
+                outs[c][0, :, :] = jnp.full((GWP, C), fills[c], jnp.float32)
+            cnt_ref[0, :, :] = jnp.zeros((GWP, 1), jnp.int32)
 
-        apply_pass(keepW, arankW, hrank, hdf, narr, winY, stayY, own_ch,
-                   write_scr)
+        @pl.when(win_live)
+        def _():
+            # ---------------- pass Y: adoption into row r ----------------
+            kx0, ky0 = destxy(px0, py0)
+            live0 = live(px0)
+            _, kym1 = destxy(pxm1, pym1)
+            _, kyp1 = destxy(pxp1, pyp1)
+            livem1 = live(pxm1) & (rv >= 1)
+            livep1 = live(pxp1) & (rv <= gh - 2)
+            keep_m1 = livem1 & (kym1 >= rv)     # clamped hop toward dest
+            keep_p1 = livep1 & (kyp1 <= rv)
+            deadY = jnp.logical_not(live0)
+            stayY = live0 & (ky0 == rv)
 
-        # ----- Y retention: was a row-r mover adopted by row r-1 / r+1? -----
-        moverY = live0 & (ky0 != rv)
-        _, kym2 = destxy(pxm2, pym2)
-        livem2 = live(pxm2) & (rv >= 2)
-        # row r-1's window = [row r-2 (g0), row r (g1)]
-        keep_up_into_m1 = livem2 & (kym2 >= rv - 1)
-        keep_r_into_m1 = live0 & (ky0 <= rv - 1) & (rv >= 1)
-        arank_r_in_m1 = (rowsum(f32(keep_up_into_m1))
-                         + prefix(f32(keep_r_into_m1))).astype(jnp.int32) - 1
-        nholes_m1 = rowsum(f32(jnp.logical_not(live(pxm1)))).astype(jnp.int32)
-        adopted_up = keep_r_into_m1 & (arank_r_in_m1 < nholes_m1)
-        # row r+1's window = [row r (g0), row r+2 (g1)]: row-r lanes have no offset
-        keep_r_into_p1 = live0 & (ky0 >= rv + 1) & (rv <= gh - 2)
-        arank_r_in_p1 = prefix(f32(keep_r_into_p1)).astype(jnp.int32) - 1
-        nholes_p1 = rowsum(f32(jnp.logical_not(live(pxp1)))).astype(jnp.int32)
-        adopted_dn = keep_r_into_p1 & (arank_r_in_p1 < nholes_p1)
-        retainY = moverY & jnp.logical_not(adopted_up | adopted_dn)
+            kpf_m1, kpf_p1 = f32(keep_m1), f32(keep_p1)
+            pr_m1 = prefix(kpf_m1)
+            pr_p1 = prefix(kpf_p1)
+            n_m1 = pr_m1[:, C - 1 : C]
+            arank_m1 = pr_m1.astype(jnp.int32) - 1
+            arank_p1 = (n_m1 + pr_p1).astype(jnp.int32) - 1
+            hdf = f32(deadY)
+            hps = prefix(hdf)
+            hrank = hps.astype(jnp.int32) - 1
+            narr = (n_m1 + pr_p1[:, C - 1 : C]).astype(jnp.int32)
 
-        mid = [jnp.where(retainY, own_ch[c], scr[c][...]) for c in range(k)]
+            keepW = jnp.concatenate([kpf_m1, kpf_p1], axis=1)        # [GWP, 2C] f32
+            arankW = jnp.concatenate([arank_m1, arank_p1], axis=1)
+            winY = [jnp.concatenate([u, d], axis=1) for u, d in zip(up_ch, dn_ch)]
 
-        # ---------------- pass X within the row ----------------
-        mkx, mky = destxy(mid[0], mid[1])
-        liveM = live(mid[0])
+            def apply_pass(keepWf, arankWi, hrk, deadf, nar, win_ch, stay_mask,
+                           own_vals, out_write):
+                """Rank-factorized hole-fill apply, suba cells per batch.
 
-        def shift_dn(a, fill):  # value at column c comes from column c-1
-            top = jnp.full((1, a.shape[1]), fill, a.dtype)
-            return jnp.concatenate([top, a[:-1]], axis=0)
+                The direct one-hot ``OH[w, s] = keep[w]·hole[s]·(arank[w]==hr[s])``
+                needs arank (a LANE-indexed value) broadcast along a new minor s
+                axis — a lane->sublane relayout that measured ~5.4 of the kernel's
+                7.1 ms at 1M (protos/time_rebin_v6split.py: no_dot 6.75 vs
+                no_onehot 1.35; the dot itself was ~0.4).  Factor it through rank
+                space instead: ``OH = P_aᵀ·P_h`` with ``P_a[j, w] = keep[w] &
+                (arank[w]==j)`` and ``P_h[j, s] = hole[s] & (hr[s]==j) & (j <
+                narr)`` — both build in NATIVE layout (rank values stay on lanes,
+                the j axis is a sublane iota), and the apply becomes two exact 0/1
+                matmuls: ``M1 = vals·P_aᵀ`` then ``out = M1·P_h``.  A filled slot
+                receives exactly one nonzero term through its unique rank j, so
+                value pass-through stays BIT-exact (HIGHEST precision, f32
+                accumulate).  Measured 7.12 -> 4.07 ms; bit-identity vs the eq
+                form pinned by the proto's guard and the v5≡v6 test surface.
+                out_write(sl, per-channel [suba, C] values) commits each batch."""
+                for i in range(GWP // suba):
+                    sl = slice(i * suba, (i + 1) * suba)
+                    jio = jax.lax.broadcasted_iota(
+                        jnp.int32, (suba, C, W2), 1)  # j on sublanes
+                    pa = jnp.where(
+                        (jio == arankWi[sl][:, None, :])
+                        & (keepWf[sl][:, None, :] > 0.5), 1.0, 0.0)
+                    hr = hrk[sl]
+                    ph = jnp.where(
+                        (jio[:, :, :C] == hr[:, None, :])
+                        & (deadf[sl][:, None, :] > 0.5)
+                        & (hr[:, None, :] < nar[sl][:, :, None]),
+                        1.0, 0.0)  # [suba, C(j), C(s)]
+                    vals = jnp.stack([w[sl] for w in win_ch], axis=1)  # [suba,k,2C]
+                    m1 = jax.lax.dot_general(
+                        vals, pa, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32, precision=HI)
+                    app = jax.lax.dot_general(
+                        m1, ph, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32, precision=HI)
+                    filled = (deadf[sl] > 0.5) & (hr < nar[sl])
+                    stays = stay_mask[sl]
+                    out_write(sl, [
+                        jnp.where(stays, own_vals[c][sl],
+                                  jnp.where(filled, app[:, c, :],
+                                            jnp.float32(fills[c])))
+                        for c in range(k)
+                    ])
 
-        def shift_up(a, fill):  # value at column c comes from column c+1
-            bot = jnp.full((1, a.shape[1]), fill, a.dtype)
-            return jnp.concatenate([a[1:], bot], axis=0)
+            def write_scr(sl, vals):
+                for c in range(k):
+                    scr[c][sl, :] = vals[c]
 
-        up_live = shift_dn(f32(liveM), 0.0) > 0.5
-        dn_live = shift_up(f32(liveM), 0.0) > 0.5
-        up_kx = shift_dn(mkx, 0)
-        dn_kx = shift_up(mkx, 0)
-        up_ky = shift_dn(mky, -1)
-        dn_ky = shift_up(mky, -1)
-        kg0 = up_live & (up_ky == rv) & (up_kx >= colv) & (colv > 0)
-        kg1 = dn_live & (dn_ky == rv) & (dn_kx <= colv) & (colv < gw - 1)
-        deadX = jnp.logical_not(liveM)
-        stayX = liveM & ((mky != rv) | (mkx == colv))
+            apply_pass(keepW, arankW, hrank, hdf, narr, winY, stayY, own_ch,
+                       write_scr)
 
-        kg0f, kg1f = f32(kg0), f32(kg1)
-        pr_g0 = prefix(kg0f)
-        pr_g1 = prefix(kg1f)
-        ng0 = pr_g0[:, C - 1 : C]
-        arank_g0 = pr_g0.astype(jnp.int32) - 1
-        arank_g1 = (ng0 + pr_g1).astype(jnp.int32) - 1
-        hdfX = f32(deadX)
-        hpsX = prefix(hdfX)
-        hrankX = hpsX.astype(jnp.int32) - 1
-        nholesX = hpsX[:, C - 1 : C].astype(jnp.int32)
-        narrX = (ng0 + pr_g1[:, C - 1 : C]).astype(jnp.int32)
+            # ----- Y retention: was a row-r mover adopted by row r-1 / r+1? -----
+            moverY = live0 & (ky0 != rv)
+            _, kym2 = destxy(pxm2, pym2)
+            livem2 = live(pxm2) & (rv >= 2)
+            # row r-1's window = [row r-2 (g0), row r (g1)]
+            keep_up_into_m1 = livem2 & (kym2 >= rv - 1)
+            keep_r_into_m1 = live0 & (ky0 <= rv - 1) & (rv >= 1)
+            arank_r_in_m1 = (rowsum(f32(keep_up_into_m1))
+                             + prefix(f32(keep_r_into_m1))).astype(jnp.int32) - 1
+            nholes_m1 = rowsum(f32(jnp.logical_not(live(pxm1)))).astype(jnp.int32)
+            adopted_up = keep_r_into_m1 & (arank_r_in_m1 < nholes_m1)
+            # row r+1's window = [row r (g0), row r+2 (g1)]: row-r lanes have no offset
+            keep_r_into_p1 = live0 & (ky0 >= rv + 1) & (rv <= gh - 2)
+            arank_r_in_p1 = prefix(f32(keep_r_into_p1)).astype(jnp.int32) - 1
+            nholes_p1 = rowsum(f32(jnp.logical_not(live(pxp1)))).astype(jnp.int32)
+            adopted_dn = keep_r_into_p1 & (arank_r_in_p1 < nholes_p1)
+            retainY = moverY & jnp.logical_not(adopted_up | adopted_dn)
 
-        keepX = jnp.concatenate([kg0f, kg1f], axis=1)
-        arankX = jnp.concatenate([arank_g0, arank_g1], axis=1)
-        winX = [jnp.concatenate([shift_dn(m, fills[c]),
-                                 shift_up(m, fills[c])], axis=1)
-                for c, m in enumerate(mid)]
+            mid = [jnp.where(retainY, own_ch[c], scr[c][...]) for c in range(k)]
 
-        # X retention, computed BEFORE the apply overwrites out refs: adoption
-        # of cell c's movers is its neighbors' (g1 at c-1, g0 at c+1) decision.
-        adopted_g0 = f32(kg0 & (arank_g0 < nholesX))
-        adopted_g1 = f32(kg1 & (arank_g1 < nholesX))
-        adopted_by_left = shift_dn(adopted_g1, 0.0) > 0.5
-        adopted_by_right = shift_up(adopted_g0, 0.0) > 0.5
-        moverX = liveM & (mky == rv) & (mkx != colv)
-        retainX = moverX & jnp.logical_not(adopted_by_left | adopted_by_right)
+            # ---------------- pass X within the row ----------------
+            mkx, mky = destxy(mid[0], mid[1])
+            liveM = live(mid[0])
 
-        def write_out(sl, vals):
-            for c in range(k):
-                outs[c][0, sl, :] = jnp.where(retainX[sl], mid[c][sl], vals[c])
+            def shift_dn(a, fill):  # value at column c comes from column c-1
+                top = jnp.full((1, a.shape[1]), fill, a.dtype)
+                return jnp.concatenate([top, a[:-1]], axis=0)
 
-        apply_pass(keepX, arankX, hrankX, hdfX, narrX, winX, stayX, mid,
-                   write_out)
+            def shift_up(a, fill):  # value at column c comes from column c+1
+                bot = jnp.full((1, a.shape[1]), fill, a.dtype)
+                return jnp.concatenate([a[1:], bot], axis=0)
 
-        cnt_ref[0, :, :] = jnp.sum(
-            jnp.where(outs[0][0] < 0.5 * SENTINEL, 1, 0),
-            axis=1, keepdims=True).astype(jnp.int32)
+            up_live = shift_dn(f32(liveM), 0.0) > 0.5
+            dn_live = shift_up(f32(liveM), 0.0) > 0.5
+            up_kx = shift_dn(mkx, 0)
+            dn_kx = shift_up(mkx, 0)
+            up_ky = shift_dn(mky, -1)
+            dn_ky = shift_up(mky, -1)
+            kg0 = up_live & (up_ky == rv) & (up_kx >= colv) & (colv > 0)
+            kg1 = dn_live & (dn_ky == rv) & (dn_kx <= colv) & (colv < gw - 1)
+            deadX = jnp.logical_not(liveM)
+            stayX = liveM & ((mky != rv) | (mkx == colv))
+
+            kg0f, kg1f = f32(kg0), f32(kg1)
+            pr_g0 = prefix(kg0f)
+            pr_g1 = prefix(kg1f)
+            ng0 = pr_g0[:, C - 1 : C]
+            arank_g0 = pr_g0.astype(jnp.int32) - 1
+            arank_g1 = (ng0 + pr_g1).astype(jnp.int32) - 1
+            hdfX = f32(deadX)
+            hpsX = prefix(hdfX)
+            hrankX = hpsX.astype(jnp.int32) - 1
+            nholesX = hpsX[:, C - 1 : C].astype(jnp.int32)
+            narrX = (ng0 + pr_g1[:, C - 1 : C]).astype(jnp.int32)
+
+            keepX = jnp.concatenate([kg0f, kg1f], axis=1)
+            arankX = jnp.concatenate([arank_g0, arank_g1], axis=1)
+            winX = [jnp.concatenate([shift_dn(m, fills[c]),
+                                     shift_up(m, fills[c])], axis=1)
+                    for c, m in enumerate(mid)]
+
+            # X retention, computed BEFORE the apply overwrites out refs: adoption
+            # of cell c's movers is its neighbors' (g1 at c-1, g0 at c+1) decision.
+            adopted_g0 = f32(kg0 & (arank_g0 < nholesX))
+            adopted_g1 = f32(kg1 & (arank_g1 < nholesX))
+            adopted_by_left = shift_dn(adopted_g1, 0.0) > 0.5
+            adopted_by_right = shift_up(adopted_g0, 0.0) > 0.5
+            moverX = liveM & (mky == rv) & (mkx != colv)
+            retainX = moverX & jnp.logical_not(adopted_by_left | adopted_by_right)
+
+            def write_out(sl, vals):
+                for c in range(k):
+                    outs[c][0, sl, :] = jnp.where(retainX[sl], mid[c][sl], vals[c])
+
+            apply_pass(keepX, arankX, hrankX, hdfX, narrX, winX, stayX, mid,
+                       write_out)
+
+            cnt_ref[0, :, :] = jnp.sum(
+                jnp.where(outs[0][0] < 0.5 * SENTINEL, 1, 0),
+                axis=1, keepdims=True).astype(jnp.int32)
 
     return kernel
 
